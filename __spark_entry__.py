@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (scrub + quality stats) on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (same column names).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pii_redactor_spark.contract import ORACLE_SQL, QUERIES  # noqa: E402
+from pii_redactor_spark.functions.gazetteers import global_scrub_gazetteer  # noqa: E402
+from pii_redactor_spark.kernels.scrub import make_scrub_udf  # noqa: E402
+from pii_redactor_spark.session import ship_package  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PII-scrub the sf0.001 documents corpus, return per-doc
+    scrub + quality stats (SURVEY.md §3.1 equivalent of ``redact(text)``)."""
+    ship_package(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scrub = make_scrub_udf(enable_regex=True,
+                           global_gazetteer=global_scrub_gazetteer())
+    pages = docs.select(
+        F.concat(F.lit("fixture://src/"), F.col("doc_id")).alias("url"),
+        "doc_id", "text", "lang", "n_chars",
+    )
+    return (
+        pages
+        .withColumn("result", scrub("url", "text"))
+        .select(
+            "url", "doc_id", "lang", "n_chars",
+            F.col("result.n_redactions").alias("n_redactions"),
+            F.length("result.scrubbed_text").alias("scrubbed_len"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,250 @@
+"""PII scrub kernel: compiled-regex tiers + broadcast gazetteers.
+
+Replaces the reference's per-document LLM redaction call
+(reference: redactor.py:32-41, one HTTPS round-trip per document) with a
+local two-tier span detector + single-pass replacer:
+
+  tier 1 — *structured* PII via compiled regexes (EMAIL, IP v4/v6, TEL,
+           SOCIALNUMBER, CREDITCARD, GEOCOORD, TIME, DATE, POSTCODE);
+  tier 2 — *lexical* PII via broadcast gazetteers: a per-url entity
+           gazetteer (exact (value, label) pairs — used for byte-identical
+           parity with the reference fixtures, reference: examples.py:33-418)
+           and a global name/place gazetteer for corpus scrubbing.
+
+Replacement semantics are pinned by the reference fixtures
+(reference: examples.py, behavioral spec):
+  * every occurrence of a gazetteer value is replaced (duplicates too —
+    examples.py:84-86 "ENG" x2, :284-288 "Andreoni" x2);
+  * matching is case-sensitive ("Balloi" does not match "bballoi@...",
+    examples.py:52-61);
+  * word-ish boundary guards prevent leaking into larger tokens
+    ("F" must not match inside "UTF-8"; mirrors the reference's own
+    leak-check regex, tests/unit/test_examples.py:75-83);
+  * overlaps resolve longest-span-first at equal start ("helbert@gmail.com"
+    beats the inner "helbert", examples.py:209-227);
+  * truncated boundary spans are left untouched because they are simply not
+    gazetteer values (examples.py:86, :191, :227);
+  * all replacement happens in ONE pass over the original text, so emitted
+    ``[LABEL]`` placeholders are never themselves rewritten and surrounding
+    bytes (e.g. pre-existing brackets -> "[[USERNAME]]", examples.py:152)
+    are preserved exactly.
+
+The kernel is a pure function of (text, gazetteer, flags) — no I/O, no
+global state — so Spark can run it inside iterator pandas UDFs with the
+compiled patterns built once per executor.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator, NamedTuple
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class Span(NamedTuple):
+    start: int
+    end: int
+    label: str
+    value: str
+    tier: int  # 0 = per-url gazetteer, 1 = regex, 2 = global gazetteer
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: compiled regex patterns for structured PII classes.
+# Order = priority at equal (start, length).
+# ---------------------------------------------------------------------------
+REGEX_TIERS: list[tuple[str, re.Pattern]] = [
+    ("GEOCOORD", re.compile(r"\[-?\d{1,3}\.\d+,\s*-?\d{1,3}\.\d+\]")),
+    ("EMAIL", re.compile(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}")),
+    # IPv6: 8 full groups or compressed (>=2 groups with '::')
+    ("IP", re.compile(
+        r"(?<![\w:.])(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}(?![\w:])"
+        r"|(?<![\w:.])(?:[0-9a-fA-F]{1,4}:){1,6}:(?:[0-9a-fA-F]{1,4}:?){0,6}(?![\w:])"
+    )),
+    ("IP", re.compile(r"(?<![\w.])(?:\d{1,3}\.){3}\d{1,3}(?![\w.])")),
+    ("SOCIALNUMBER", re.compile(r"(?<![\w-])\d{3}-\d{2}-\d{4}(?![\w-])")),
+    ("CREDITCARD", re.compile(r"(?<![\w-])(?:\d{4}[ -]){3}\d{4}(?![\w-])|(?<![\w-])\d{15,16}(?![\w-])")),
+    ("TEL", re.compile(
+        r"(?<![\w.-])(?:\+?\d{1,3}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}(?![\w-])"
+    )),
+    ("TIME", re.compile(
+        r"(?<![\w:])\d{1,2}:\d{2}(?::\d{2})?(?:\s?[apAP][mM])?(?![\w:])"
+    )),
+    ("DATE", re.compile(
+        r"(?<![\w/.-])\d{1,2}[/-]\d{1,2}[/-]\d{2,4}(?![\w/-])"
+    )),
+    ("POSTCODE", re.compile(r"(?<![\w-])\d{5}(?:-\d{4})?(?![\w-])")),
+    ("STREET", re.compile(
+        r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)? "
+        r"(?:Street|Avenue|Road|Lane|Boulevard|Drive|Grove|Court|Highway)\b"
+    )),
+]
+
+_WORD = re.compile(r"\w", re.UNICODE)
+
+
+def _boundary_pattern(value: str) -> re.Pattern:
+    """Escape ``value`` with word-boundary guards on word-char ends only.
+
+    Mirrors the reference's leak check (tests/unit/test_examples.py:80) but
+    generalizes it: values that start/end with punctuation (e.g. the PASS
+    value ``"{0w7/U`` or GEOCOORD ``[53.1051, -2.62021]``) get no guard on
+    that side, since ``\\b`` would mis-anchor there.
+    """
+    pat = re.escape(value)
+    if _WORD.match(value[0]):
+        pat = r"(?<!\w)" + pat
+    if _WORD.match(value[-1]):
+        pat = pat + r"(?!\w)"
+    return re.compile(pat)
+
+
+def _gazetteer_spans(
+    text: str, gazetteer: Iterable[tuple[str, str]], tier: int
+) -> list[Span]:
+    """All boundary-guarded occurrences of every (value, label) pair."""
+    spans: list[Span] = []
+    seen: set[str] = set()
+    for value, label in gazetteer:
+        if not value or value in seen:
+            continue  # first label wins for duplicate values (entity-list order)
+        seen.add(value)
+        for m in _boundary_pattern(value).finditer(text):
+            spans.append(Span(m.start(), m.end(), label, value, tier))
+    return spans
+
+
+def _regex_spans(text: str) -> list[Span]:
+    spans: list[Span] = []
+    # REGEX_TIERS order + the stable sort in _resolve make the earlier
+    # pattern win ties at equal (start, length, tier).
+    for label, pattern in REGEX_TIERS:
+        for m in pattern.finditer(text):
+            if m.start() == m.end():
+                continue
+            spans.append(Span(m.start(), m.end(), label, m.group(), 1))
+    return spans
+
+
+def _resolve(spans: list[Span]) -> list[Span]:
+    """Greedy overlap resolution: earliest start, then longest span, then
+    lowest tier (per-url gazetteer > regex > global gazetteer)."""
+    spans.sort(key=lambda s: (s.start, -(s.end - s.start), s.tier))
+    out: list[Span] = []
+    cursor = -1
+    for s in spans:
+        if s.start >= cursor:
+            out.append(s)
+            cursor = s.end
+    return out
+
+
+def scrub_text(
+    text: str,
+    gazetteer: Iterable[tuple[str, str]] = (),
+    enable_regex: bool = True,
+    global_gazetteer: Iterable[tuple[str, str]] = (),
+) -> tuple[str, list[dict]]:
+    """Scrub one document. Returns (scrubbed_text, entities).
+
+    ``gazetteer`` — per-document (value, label) pairs (tier 0, wins ties).
+    ``global_gazetteer`` — corpus-wide (value, label) pairs, e.g. name lists.
+    Entities carry span offsets (start, end) over the *original* text; the
+    reference drops offsets (redactor.py:5-7) but we keep them for
+    deterministic replacement and downstream auditing.
+    """
+    if not text:
+        return text, []
+    spans = _gazetteer_spans(text, gazetteer, tier=0)
+    if enable_regex:
+        spans += _regex_spans(text)
+    if global_gazetteer:
+        spans += _gazetteer_spans(text, global_gazetteer, tier=2)
+    accepted = _resolve(spans)
+    if not accepted:
+        return text, []
+    pieces: list[str] = []
+    cursor = 0
+    entities: list[dict] = []
+    for s in accepted:
+        pieces.append(text[cursor:s.start])
+        pieces.append(f"[{s.label}]")
+        entities.append(
+            {"value": s.value, "label": s.label, "start": s.start, "end": s.end}
+        )
+        cursor = s.end
+    pieces.append(text[cursor:])
+    return "".join(pieces), entities
+
+
+# ---------------------------------------------------------------------------
+# Spark surface: struct-returning iterator pandas UDF.
+# ---------------------------------------------------------------------------
+ENTITY_TYPE = StructType([
+    StructField("value", StringType()),
+    StructField("label", StringType()),
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+])
+
+SCRUB_RESULT_TYPE = StructType([
+    StructField("scrubbed_text", StringType()),
+    StructField("entities", ArrayType(ENTITY_TYPE)),
+    StructField("n_redactions", IntegerType()),
+])
+
+
+def make_scrub_udf(
+    per_url_gazetteer: dict[str, list[tuple[str, str]]] | None = None,
+    enable_regex: bool = True,
+    global_gazetteer: list[tuple[str, str]] | None = None,
+):
+    """Build the scrub pandas UDF: (url, text) -> struct.
+
+    Gazetteers are captured in the closure; Spark ships them once per task
+    via the pickled UDF (broadcast-equivalent for these small dicts — on a
+    real cluster, large gazetteers should go through ``spark.sparkContext
+    .broadcast`` and be referenced here by ``.value``).
+    Iterator form so per-executor setup happens once per task, not per batch.
+    """
+    per_url = per_url_gazetteer or {}
+    global_gaz = list(global_gazetteer or ())
+
+    @F.pandas_udf(SCRUB_RESULT_TYPE)
+    def scrub(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        for urls, texts in batches:
+            scrubbed_col: list[str | None] = []
+            entities_col: list[list[dict] | None] = []
+            counts: list[int | None] = []
+            for url, text in zip(urls, texts):
+                if text is None:
+                    scrubbed_col.append(None)
+                    entities_col.append(None)
+                    counts.append(None)
+                    continue
+                gaz = per_url.get(url, ())
+                scrubbed, ents = scrub_text(
+                    text, gaz, enable_regex=enable_regex,
+                    global_gazetteer=global_gaz,
+                )
+                scrubbed_col.append(scrubbed)
+                entities_col.append(ents)
+                counts.append(len(ents))
+            yield pd.DataFrame({
+                "scrubbed_text": scrubbed_col,
+                "entities": entities_col,
+                "n_redactions": counts,
+            })
+
+    return scrub
