@@ -15,6 +15,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pii_redactor_spark.functions.rules import QualityThresholds, with_quality
+from pii_redactor_spark.operators.metrics import with_hybrid_score
+from pii_redactor_spark.plans.pipeline import run_pipeline
 from pii_redactor_spark.session import ship_package
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -178,4 +181,249 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
              .cast("double").alias("total_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O14/O21-O23/O27 — the hybrid PII metric + severity, evaluated on a literal
+# gold/pred pair table (reference: optimizer.py:86-139, truth table from
+# tests/unit/test_optimizer.py:27-113). Both sides compute multiset label
+# intersection; the oracle does it relationally (unnest + equi-join + least).
+# ---------------------------------------------------------------------------
+METRIC_PAIRS: list[tuple[int, str, str]] = [
+    (0, "Call [GIVENNAME1] at [TEL].", "Call [GIVENNAME1] at [TEL]."),
+    (1, "Hello world.", "Hello world."),
+    (2, "Call [GIVENNAME1] at [TEL].", "Call [GIVENNAME1] at 555-1234."),
+    (3, "Call [GIVENNAME1] at home.", "Call [GIVENNAME1] at [TEL]."),
+    (4, "ID: [PASSPORT]", "ID: [IDCARD]"),
+    (5, "Call [GIVENNAME1] at [TEL].", "Call John at 555-1234."),
+    (6, "[TEL]", "555-1234"),
+    (7, "555-1234", "[TEL]"),
+    (8, "[TEL] and [TEL]", "[TEL]"),
+    (9, "[GIVENNAME1] [LASTNAME1] [TEL]", "[GIVENNAME1] [IDCARD] [EMAIL]"),
+    (10, "[GIVENNAME1] [LASTNAME1] [TEL] [EMAIL]",
+     "[GIVENNAME1] [IDCARD] [TEL] [IP] [USERNAME]"),
+    (11, "Call [GIVENNAME1]", "  Call [GIVENNAME1]  "),
+]
+
+
+def _pairs_values_sql() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+    return ", ".join(f"({i}, {q(g)}, {q(p)})" for i, g, p in METRIC_PAIRS)
+
+
+_METRIC_BASE_SQL = f"""
+WITH pairs(id, gold, pred) AS (VALUES {_pairs_values_sql()}),
+lab AS (
+  SELECT id,
+         regexp_extract_all(trim(gold), '\\[([A-Z]+\\d*)\\]', 1) AS gl,
+         regexp_extract_all(trim(pred), '\\[([A-Z]+\\d*)\\]', 1) AS pl,
+         trim(gold) = trim(pred) AS texts_equal
+  FROM pairs),
+g AS (SELECT id, unnest(gl) AS label FROM lab),
+gc AS (SELECT id, label, COUNT(*) AS cg FROM g GROUP BY 1, 2),
+p AS (SELECT id, unnest(pl) AS label FROM lab),
+pc AS (SELECT id, label, COUNT(*) AS cp FROM p GROUP BY 1, 2),
+inter AS (
+  SELECT gc.id, SUM(LEAST(cg, cp)) AS nc
+  FROM gc JOIN pc ON gc.id = pc.id AND gc.label = pc.label GROUP BY 1),
+base AS (
+  SELECT lab.id, len(gl) AS tg, len(pl) AS tp, texts_equal,
+         COALESCE(inter.nc, 0) AS nc,
+         LEAST(len(gl), len(pl)) AS detected
+  FROM lab LEFT JOIN inter ON lab.id = inter.id),
+scored AS (
+  SELECT id,
+    CASE WHEN tg = 0 THEN 1.0
+         WHEN tp = 0 THEN 0.0
+         ELSE CAST(detected AS DOUBLE) / tg END AS detection_recall,
+    CASE WHEN tg = 0 THEN 1.0
+         WHEN tp = 0 THEN 0.0
+         WHEN detected > 0 THEN CAST(nc AS DOUBLE) / detected
+         ELSE 0.0 END AS classification_acc,
+    CASE WHEN tg = 0 OR tp = 0 THEN 0 ELSE nc END AS num_correct,
+    CASE WHEN detected < tg THEN 'CRITICAL'
+         WHEN detected > 0 AND (CASE WHEN tg = 0 OR tp = 0 THEN 0 ELSE nc END) < detected THEN 'minor'
+         WHEN tp > tg THEN 'note'
+         ELSE 'correct' END AS severity
+  FROM base)
+SELECT id, detection_recall, classification_acc,
+       0.75 * detection_recall + 0.25 * classification_acc AS hybrid_score,
+       CAST(num_correct AS INT) AS num_correct, severity
+FROM scored
+"""
+
+
+def _metric_pairs_df(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(METRIC_PAIRS, "id int, gold string, pred string")
+    return with_hybrid_score(df).select(
+        "id", "detection_recall", "classification_acc", "hybrid_score",
+        F.col("num_correct").cast("int").alias("num_correct"), "severity",
+    )
+
+
+@register("q_hybrid_score", oracle=_METRIC_BASE_SQL)
+def q_hybrid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _metric_pairs_df(spark)
+
+
+@register(
+    "q_severity_hist",
+    oracle=f"SELECT severity, COUNT(*) AS n FROM ({_METRIC_BASE_SQL}) GROUP BY 1",
+)
+def q_severity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O27 — corpus-level severity histogram
+    return _metric_pairs_df(spark).groupBy("severity").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_avg_score",
+    oracle=f"""
+    SELECT CAST(ROUND(CAST(SUM(CAST(hybrid_score AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_score,
+           COUNT(*) AS n_examples
+    FROM ({_METRIC_BASE_SQL})
+    """,
+)
+def q_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O24 — mean metric over the devset (reference: evaluator.py:88-96)
+    df = _metric_pairs_df(spark)
+    return df.agg(
+        F.round(
+            F.sum(F.col("hybrid_score").cast("decimal(28,12)")).cast("double")
+            / F.count("*"), 6,
+        ).cast("double").alias("avg_score"),
+        F.count("*").alias("n_examples"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star quality rules over the documents corpus — pure Column
+# expressions (functions/rules.py) vs a relational DuckDB re-derivation.
+# ---------------------------------------------------------------------------
+_STOPWORD_SQL_LIST = (
+    "['the','be','to','of','and','a','in','that','have','i',"
+    "'it','for','not','on','with','he','as','you','do','at']"
+)
+
+_QUALITY_BASE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS words,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM documents),
+stats AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(words) > 0
+         THEN CAST(len(list_filter(words, w -> list_contains({_STOPWORD_SQL_LIST}, lower(w)))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(words) > 0
+         THEN CAST((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(words) > 0
+         THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS alpha_word_ratio,
+    1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / GREATEST(len(lines), 1) AS dup_line_ratio
+  FROM base)
+SELECT * FROM stats
+"""
+
+
+@register("q_quality_stats", oracle=_QUALITY_BASE_SQL)
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_quality(_t(spark, sf_dir, "documents"), "text")
+    return df.select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio",
+        "symbol_word_ratio", "alpha_word_ratio", "dup_line_ratio",
+    )
+
+
+@register(
+    "q_quality_keep",
+    oracle=f"""
+    SELECT doc_id,
+      (n_words >= 5 AND n_words <= 100000
+       AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+       AND symbol_word_ratio <= 0.1
+       AND alpha_word_ratio >= 0.7
+       AND stopword_ratio >= 0.02
+       AND dup_line_ratio <= 0.5) AS keep,
+      CAST((CASE WHEN n_words < 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_words > 100000 THEN 1 ELSE 0 END)
+         + (CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN symbol_word_ratio > 0.1 THEN 1 ELSE 0 END)
+         + (CASE WHEN alpha_word_ratio < 0.7 THEN 1 ELSE 0 END)
+         + (CASE WHEN stopword_ratio < 0.02 THEN 1 ELSE 0 END)
+         + (CASE WHEN dup_line_ratio > 0.5 THEN 1 ELSE 0 END) AS INT) AS n_reasons
+    FROM ({_QUALITY_BASE_SQL})
+    """,
+)
+def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rule-only keep/drop (kernel-gated variants are rows-only checks below)
+    df = with_quality(_t(spark, sf_dir, "documents"), "text",
+                      QualityThresholds())
+    return df.select(
+        "doc_id", "keep",
+        F.size("reasons").cast("int").alias("n_reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline (langid + perplexity + scrub kernels) — not SQL-expressible;
+# the driver records a rows-only check (SURVEY §7.5).
+# ---------------------------------------------------------------------------
+@register("q_pipeline_full")
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "doc_id", "text", "lang",
+    )
+    out = run_pipeline(docs, allowed_langs=("en",), max_ppl=50.0)
+    return out.select(
+        "url", "doc_id", "lang", "lang_pred", "ppl", "n_redactions",
+        "keep", "reasons",
+    )
+
+
+@register("q_worstk_ppl")
+def q_worstk_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k worst documents by perplexity (SURVEY §2.6 bench query) —
+    # TakeOrderedAndProject over a kernel column; rows-only check.
+    from pii_redactor_spark.kernels.perplexity import make_perplexity_udf
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ppl", make_perplexity_udf()("text"))
+        .orderBy(F.desc("ppl"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "ppl", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex) — text-analysis op family.
+# ---------------------------------------------------------------------------
+@register(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != ""))
+         .alias("ws_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+         .alias("bpe_ish_tokens"),
     )

@@ -1,0 +1,128 @@
+"""C4/Gopher-style heuristic quality rules as pure Spark SQL expressions.
+
+The reference's only "quality decision" is its LLM redaction plus metric
+gates; the north-star pipeline extends this to corpus-level keep/drop
+quality filtering (BASELINE.json north_star: "C4/Gopher-style heuristic
+quality rules ... expressed as Spark SQL column expressions").
+
+Every rule is a Column expression — JVM-side, whole-stage codegen, no
+Python — so the filter stage scans at parquet speed. Rules follow the
+published C4 (Raffel et al. 2020, §2.2) and Gopher (Rae et al. 2021,
+Appendix A1.1) heuristics, with thresholds adapted for short synthetic
+test documents and exposed as parameters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher uses a "stop word present" signal; C4 uses terminal punctuation.
+STOPWORDS = [
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "i",
+    "it", "for", "not", "on", "with", "he", "as", "you", "do", "at",
+]
+
+
+@dataclass(frozen=True)
+class QualityThresholds:
+    min_words: int = 5            # Gopher: 50 (adapted for test docs)
+    max_words: int = 100_000      # Gopher: 100k
+    min_mean_word_len: float = 2.0   # Gopher: 3 (adapted)
+    max_mean_word_len: float = 12.0  # Gopher: 10 (adapted)
+    max_symbol_word_ratio: float = 0.1   # Gopher: '#'/'…' per word
+    min_alpha_word_ratio: float = 0.7    # Gopher: 80% words contain alpha
+    min_stopword_ratio: float = 0.02     # Gopher: >=2 of a stop list
+    max_dup_line_ratio: float = 0.5      # Gopher repetition family
+    toxicity_words: tuple[str, ...] = field(default=())
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array (split of ''
+    yields [''] so filter it)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def quality_columns(text: Column | str, th: QualityThresholds | None = None) -> dict[str, Column]:
+    """All rule-input statistics as named Columns."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = words_col(t)
+    n_words = F.size(words)
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.when(
+            n_words > 0,
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / n_words,
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda w: F.lower(w).isin(STOPWORDS))).cast("double") / n_words,
+        ).otherwise(F.lit(0.0)),
+        "symbol_word_ratio": F.when(
+            n_words > 0,
+            (F.length(t) - F.length(F.translate(t, "#…", ""))).cast("double") / n_words,
+        ).otherwise(F.lit(0.0)),
+        "alpha_word_ratio": F.when(
+            n_words > 0, alpha_words.cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+        "mean_line_len": F.aggregate(
+            lines, F.lit(0), lambda a, l: a + F.length(l)
+        ).cast("double") / n_lines,
+        "dup_line_ratio": F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    }
+
+
+def toxicity_hit(text: Column | str, toxicity_words: list[str]) -> Column:
+    """True if any toxicity-wordlist token occurs as a standalone word."""
+    t = F.col(text) if isinstance(text, str) else text
+    if not toxicity_words:
+        return F.lit(False)
+    words = F.transform(words_col(t), lambda w: F.lower(w))
+    return F.size(F.array_intersect(
+        words, F.array(*[F.lit(w.lower()) for w in toxicity_words])
+    )) > 0
+
+
+def keep_decision(th: QualityThresholds | None = None) -> tuple[Column, Column]:
+    """(keep: boolean, reasons: array<string>) over the columns produced by
+    ``quality_columns`` (+ ``is_toxic`` if toxicity is configured).
+
+    Mirrors the reference's per-document decision surface (score +
+    severity feedback, optimizer.py:216-247) as a corpus filter: a doc is
+    kept iff no rule fires; ``reasons`` lists the fired rules (the
+    equivalent of the reference's feedback strings).
+    """
+    th = th or QualityThresholds()
+    checks: list[tuple[str, Column]] = [
+        ("too_few_words", F.col("n_words") < th.min_words),
+        ("too_many_words", F.col("n_words") > th.max_words),
+        ("mean_word_len_out_of_range",
+         (F.col("mean_word_len") < th.min_mean_word_len)
+         | (F.col("mean_word_len") > th.max_mean_word_len)),
+        ("symbol_ratio_high", F.col("symbol_word_ratio") > th.max_symbol_word_ratio),
+        ("alpha_ratio_low", F.col("alpha_word_ratio") < th.min_alpha_word_ratio),
+        ("stopword_ratio_low", F.col("stopword_ratio") < th.min_stopword_ratio),
+        ("dup_lines_high", F.col("dup_line_ratio") > th.max_dup_line_ratio),
+    ]
+    if th.toxicity_words:
+        checks.append(("toxicity", F.col("is_toxic")))
+    reasons = F.array_compact(F.array(*[
+        F.when(cond, F.lit(name)) for name, cond in checks
+    ]))
+    return F.size(reasons) == 0, reasons
+
+
+def with_quality(df: DataFrame, text_col: str = "text",
+                 th: QualityThresholds | None = None) -> DataFrame:
+    """Attach rule stats + keep/reasons to a corpus DataFrame."""
+    th = th or QualityThresholds()
+    df = df.withColumns(quality_columns(text_col, th))
+    if th.toxicity_words:
+        df = df.withColumn("is_toxic", toxicity_hit(text_col, list(th.toxicity_words)))
+    keep, reasons = keep_decision(th)
+    return df.withColumn("keep", keep).withColumn("reasons", reasons)

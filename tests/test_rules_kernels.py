@@ -1,0 +1,108 @@
+"""Quality rules (hand cases), langid accuracy, perplexity monotonicity
+(SURVEY §5.2 item 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.functions.rules import (
+    QualityThresholds,
+    with_quality,
+)
+from pii_redactor_spark.kernels.langid import make_langid_udf, predict_lang_batch
+from pii_redactor_spark.kernels.perplexity import make_perplexity_udf, perplexity_batch
+
+NATURAL_EN = ("The children walked to school in the morning and read their "
+              "favorite stories about the history of the country.")
+GARBLED = "xq zvk jjq wfp qzx vkj mmx ppw zzq xkv jqz wpf qqq zzz xxx"
+HELD_OUT = {
+    "en": "The library opens early on Saturday and the students arrive with their books.",
+    "de": "Die Bibliothek öffnet samstags früh und die Studenten kommen mit ihren Büchern.",
+    "es": "La biblioteca abre temprano los sábados y los estudiantes llegan con sus libros.",
+    "fr": "La bibliothèque ouvre tôt le samedi et les étudiants arrivent avec leurs livres.",
+    "zh": "图书馆星期六很早开门，学生们带着他们的书来了。",
+}
+
+
+class TestQualityRules:
+    @pytest.fixture(scope="class")
+    def quality(self, spark):
+        rows = [
+            ("ok", NATURAL_EN),
+            ("short", "Hi there"),
+            ("symbols", "# " * 40 + "word"),
+            ("dup_lines", "same line\n" * 10 + "unique\n"),
+            ("no_alpha", " ".join(["123 456 789"] * 5)),
+            ("toxic", NATURAL_EN + " tox_slur_a"),
+        ]
+        th = QualityThresholds(toxicity_words=("tox_slur_a",))
+        df = with_quality(
+            spark.createDataFrame(rows, "id string, text string"), "text", th)
+        return {r["id"]: r for r in df.collect()}
+
+    def test_natural_doc_kept(self, quality):
+        assert quality["ok"]["keep"] is True
+        assert quality["ok"]["reasons"] == []
+
+    def test_short_doc_dropped(self, quality):
+        assert quality["short"]["keep"] is False
+        assert "too_few_words" in quality["short"]["reasons"]
+
+    def test_symbol_ratio(self, quality):
+        assert "symbol_ratio_high" in quality["symbols"]["reasons"]
+
+    def test_dup_lines(self, quality):
+        assert "dup_lines_high" in quality["dup_lines"]["reasons"]
+        assert quality["dup_lines"]["dup_line_ratio"] > 0.8
+
+    def test_alpha_ratio(self, quality):
+        assert "alpha_ratio_low" in quality["no_alpha"]["reasons"]
+
+    def test_toxicity(self, quality):
+        assert "toxicity" in quality["toxic"]["reasons"]
+
+    def test_stats_sane(self, quality):
+        ok = quality["ok"]
+        assert ok["n_words"] == len(NATURAL_EN.split())
+        assert 2.0 < ok["mean_word_len"] < 12.0
+        assert ok["stopword_ratio"] > 0.1
+
+
+class TestLangid:
+    def test_held_out_accuracy(self):
+        langs = list(HELD_OUT)
+        preds, confs = predict_lang_batch([HELD_OUT[l] for l in langs])
+        assert preds == langs
+        assert all(c is not None and 0 < c <= 1 for c in confs)
+
+    def test_null_and_empty(self):
+        preds, confs = predict_lang_batch([None, "", "   "])
+        assert preds == [None, None, None]
+
+    def test_spark_udf(self, spark):
+        udf = make_langid_udf()
+        df = (
+            spark.createDataFrame(
+                [(l, t) for l, t in HELD_OUT.items()], "lang string, text string")
+            .withColumn("r", udf("text"))
+        )
+        rows = df.select("lang", "r.lang_pred").collect()
+        assert all(r["lang"] == r["lang_pred"] for r in rows)
+
+
+class TestPerplexity:
+    def test_monotonicity(self):
+        nat, garbled = perplexity_batch([NATURAL_EN, GARBLED])
+        assert garbled > nat * 1.5
+
+    def test_null_and_short(self):
+        assert perplexity_batch([None, "ab"]) == [None, None]
+
+    def test_spark_udf(self, spark):
+        udf = make_perplexity_udf()
+        df = spark.createDataFrame(
+            [("nat", NATURAL_EN), ("garbled", GARBLED)], "id string, text string"
+        ).withColumn("ppl", udf("text"))
+        rows = {r["id"]: r["ppl"] for r in df.collect()}
+        assert rows["garbled"] > rows["nat"]
