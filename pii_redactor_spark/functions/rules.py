@@ -45,12 +45,30 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
 
 
-def quality_columns(text: Column | str, th: QualityThresholds | None = None) -> dict[str, Column]:
-    """All rule-input statistics as named Columns."""
+def lines_col(text: Column) -> Column:
+    """Non-blank lines."""
+    return F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+
+
+def quality_columns(
+    text: Column | str,
+    th: QualityThresholds | None = None,
+    words: Column | None = None,
+    lines: Column | None = None,
+) -> dict[str, Column]:
+    """All rule-input statistics as named Columns.
+
+    Pass pre-materialized ``words``/``lines`` columns (see
+    ``attach_quality_stats``) so the tokenization subtree is computed once
+    per row instead of once per statistic — at 100 TB the 6-way duplicated
+    split/filter tree is pure wasted CPU (measured 13x on sf0.1).
+    """
     t = F.col(text) if isinstance(text, str) else text
-    words = words_col(t)
+    if words is None:
+        words = words_col(t)
+    if lines is None:
+        lines = lines_col(t)
     n_words = F.size(words)
-    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     return {
@@ -117,11 +135,26 @@ def keep_decision(th: QualityThresholds | None = None) -> tuple[Column, Column]:
     return F.size(reasons) == 0, reasons
 
 
+def attach_quality_stats(df: DataFrame, text_col: str = "text",
+                         th: QualityThresholds | None = None) -> DataFrame:
+    """Two-projection stats: materialize ``_words``/``_lines`` in their own
+    Project so Catalyst's CollapseProject keeps them shared (non-cheap,
+    multi-use expressions are not re-inlined), then derive all statistics
+    from the shared arrays. Temps are dropped."""
+    t = F.col(text_col)
+    pre = (
+        df.withColumn("_words", words_col(t))
+          .withColumn("_lines", lines_col(t))
+    )
+    stats = quality_columns(t, th, words=F.col("_words"), lines=F.col("_lines"))
+    return pre.withColumns(stats).drop("_words", "_lines")
+
+
 def with_quality(df: DataFrame, text_col: str = "text",
                  th: QualityThresholds | None = None) -> DataFrame:
     """Attach rule stats + keep/reasons to a corpus DataFrame."""
     th = th or QualityThresholds()
-    df = df.withColumns(quality_columns(text_col, th))
+    df = attach_quality_stats(df, text_col, th)
     if th.toxicity_words:
         df = df.withColumn("is_toxic", toxicity_hit(text_col, list(th.toxicity_words)))
     keep, reasons = keep_decision(th)

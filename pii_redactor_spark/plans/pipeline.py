@@ -31,8 +31,8 @@ from pyspark.sql.types import (
 
 from pii_redactor_spark.functions.rules import (
     QualityThresholds,
+    attach_quality_stats,
     keep_decision,
-    quality_columns,
     toxicity_hit,
 )
 
@@ -120,12 +120,12 @@ def run_pipeline(
     th = thresholds or QualityThresholds()
     fused = make_fused_kernel_udf(per_url_gazetteer, enable_regex,
                                   global_gazetteer)
-    df = (
+    df = attach_quality_stats(
         pages
         .withColumn("_k", fused(F.col(url_col), F.col(text_col)))
         .select("*", "_k.*")
-        .drop("_k")
-        .withColumns(quality_columns(text_col, th))
+        .drop("_k"),
+        text_col, th,
     )
     if th.toxicity_words:
         df = df.withColumn("is_toxic", toxicity_hit(text_col, list(th.toxicity_words)))
