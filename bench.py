@@ -41,6 +41,8 @@ HEADLINE = [
     "q_quality_keep",
     "q_dedup_exact",
     "q_dedup_minhash_bands",
+    "q_dedup_lsh_pairs",
+    "q_dedup_jaccard",
     "q_fingerprint",
     "q_simhash",
     "q_ann_bruteforce",

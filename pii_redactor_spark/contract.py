@@ -408,6 +408,61 @@ def q_worstk_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish regex) — text-analysis op family.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Deduplication family (training-data pipeline ops; operators/dedup.py):
+# exact hash-dedup, MinHash+LSH bands, candidate pairs, Jaccard verify,
+# SimHash. All signatures are projection-only md5-based expressions so the
+# DuckDB oracle reproduces them exactly.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.operators import dedup as _dd  # noqa: E402
+from pii_redactor_spark.operators import fingerprint as _fp  # noqa: E402
+from pii_redactor_spark.operators import similarity as _sim  # noqa: E402
+
+
+@register("q_dedup_exact", oracle=_dd.exact_dedup_oracle_sql())
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_minhash_bands", oracle=_dd.minhash_bands_oracle_sql())
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.minhash_bands(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_lsh_pairs", oracle=_dd.lsh_pairs_oracle_sql())
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_jaccard", oracle=_dd.jaccard_pairs_oracle_sql())
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("q_simhash", oracle=_dd.simhash_oracle_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register("q_fingerprint", oracle=_fp.fingerprints_oracle_sql())
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fp.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over the embeddings table (operators/similarity.py):
+# brute-force cosine top-k baseline + LSH sign-projection scale path.
+# ---------------------------------------------------------------------------
+@register("q_ann_bruteforce", oracle=_sim.ann_bruteforce_oracle_sql())
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_bruteforce(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_ann_lsh", oracle=_sim.ann_lsh_oracle_sql())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_lsh(_t(spark, sf_dir, "embeddings"))
+
+
 @register(
     "q_token_count",
     oracle=r"""

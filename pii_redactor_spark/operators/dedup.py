@@ -1,0 +1,334 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash, Jaccard.
+
+The reference deduplicates nothing (its corpus arrives pre-cleaned from
+HuggingFace, reference: optimizer.py:38-53); a 100 TB web-corpus pipeline
+cannot skip dedup, so these are first-class engine operators per the
+training-data-pipeline mandate.
+
+Scale-first design notes:
+
+- Every per-document signature (minhash, simhash, band hashes, shingle
+  sets) is a **projection-only** Column expression — no UDF, no shuffle.
+  Whole-stage codegen evaluates them JVM-side at parquet-scan speed; a
+  1000-executor cluster computes signatures embarrassingly parallel.
+- The only shuffles are the semantic ones: the exact-dup groupBy on the
+  content hash and the LSH bucket self-join on (band_idx, band_hash).
+  Both keys are md5-derived → uniformly distributed, so partitions stay
+  balanced; AQE skew-join handles the pathological all-identical-docs
+  case (one giant bucket).
+- Hash functions are md5-based so the DuckDB oracle can reproduce them
+  bit-for-bit: minhash takes the lexicographic MIN over hex digests
+  (order-isomorphic to numeric min over the 128-bit value), simhash
+  word-hashes fold the first 15 hex chars into a 60-bit bigint (fits
+  signed 64-bit in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash: H signatures grouped into B bands of R rows (H = B*R).
+MINHASH_H = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SHINGLE_K = 3      # word 3-shingles
+SIMHASH_BITS = 60  # 15 hex chars -> signed-bigint-safe in Spark AND DuckDB
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+def words_expr(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def shingles_expr(words: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles joined by single spaces; documents shorter than k
+    words contribute one whole-document shingle so no doc has an empty
+    signature."""
+    n = F.size(words)
+    full = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    return F.when(n >= k, full).otherwise(F.array(F.array_join(words, " ")))
+
+
+def minhash_sig_exprs(shingles: Column, h: int = MINHASH_H) -> list[Column]:
+    """H independent minhashes: min over shingles of md5(f'{i}:' || s).
+    Lexicographic min over fixed-width hex == numeric min over the
+    128-bit hash value, identical in Spark and DuckDB."""
+    # NB: bind the salt OUTSIDE the lambda — a two-parameter lambda
+    # (even `lambda s, i=i`) is treated by PySpark as an (element, index)
+    # higher-order function and `i` would become the index Column.
+    def one(i: int) -> Column:
+        prefix = F.lit(f"{i}:")
+        return F.array_min(F.transform(
+            shingles, lambda s: F.md5(F.concat(prefix, s))))
+
+    return [one(i) for i in range(h)]
+
+
+def word_hash60(w: Column) -> Column:
+    """First 60 bits of md5(word) as a signed bigint (conv parses hex)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash60_expr(hashes: Column) -> Column:
+    """60-bit SimHash over a pre-materialized array<bigint> of word hashes.
+
+    Per-bit majority vote as pure expressions: bit b is set iff more than
+    half the word hashes have bit b set. 60 filter passes over a short
+    array — projection-only, no shuffle. (An explode+groupBy formulation
+    shuffles |words|*60 rows per doc; strictly worse at corpus scale.)
+    """
+    n = F.size(hashes)
+
+    def bit_count(b: int) -> Column:
+        # single-parameter lambda: two-parameter lambdas become
+        # (element, index) HOFs in PySpark (see minhash_sig_exprs)
+        return F.size(F.filter(
+            hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+
+    terms = []
+    for b in range(SIMHASH_BITS):
+        cnt = bit_count(b)
+        terms.append(F.when(cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach `sig` (array<string> of H minhashes) via a two-step
+    projection (shingles materialized once, shared by all H mins)."""
+    pre = (
+        docs
+        .withColumn("_words", words_expr(F.col(text_col)))
+        .withColumn("_shingles", shingles_expr(F.col("_words")))
+    )
+    return (
+        pre.withColumn("sig", F.array(*minhash_sig_exprs(F.col("_shingles"))))
+        .drop("_words", "_shingles")
+    )
+
+
+def band_hashes(sig: Column, bands: int = LSH_BANDS,
+                rows: int = LSH_ROWS) -> Column:
+    """array<struct<band_idx:int, band_hash:string>> — md5 of each band's
+    concatenated signature rows."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(
+                "|", *[F.element_at(sig, b * rows + r + 1)
+                       for r in range(rows)])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); representative = min id.
+    One shuffle on a uniform key; map-side partial aggregation halves
+    traffic (Catalyst HashAggregate pair)."""
+    return (
+        docs
+        .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("rep_id"),
+        )
+    )
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, band_idx, band_hash) — one row per doc per band. Projection +
+    explode only; the downstream bucket join supplies the shuffle."""
+    sigs = with_minhash(docs, text_col)
+    return (
+        sigs
+        .select(F.col(id_col), F.explode(band_hashes(F.col("sig"))).alias("b"))
+        .select(id_col, "b.band_idx", "b.band_hash")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) that share at least
+    one LSH band. Equi self-join on (band_idx, band_hash) — the classic
+    MinHash-LSH bucket join; AQE splits skewed buckets."""
+    b = minhash_bands(docs, text_col, id_col)
+    left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidates: join each
+    pair back to its distinct shingle sets, jaccard = |A∩B| / |A∪B|.
+    The candidate set (not the corpus cross product) drives the cost —
+    this is the standard verify stage after LSH recall."""
+    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    shingle_sets = (
+        docs
+        .withColumn("_words", words_expr(F.col(text_col)))
+        .select(F.col(id_col).alias("sid"),
+                F.array_distinct(shingles_expr(F.col("_words"))).alias("sset"))
+    )
+    return (
+        pairs
+        .join(shingle_sets.withColumnRenamed("sid", "id_a")
+              .withColumnRenamed("sset", "set_a"), "id_a")
+        .join(shingle_sets.withColumnRenamed("sid", "id_b")
+              .withColumnRenamed("sset", "set_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("set_a", "set_b")).cast("double")
+             / F.size(F.array_union("set_a", "set_b"))).alias("jaccard"),
+        )
+        .withColumn("is_dup", F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash:bigint) — 60-bit SimHash per document."""
+    pre = (
+        docs
+        .withColumn("_words", words_expr(F.col(text_col)))
+        .withColumn("_hashes",
+                    F.transform(F.col("_words"), word_hash60))
+    )
+    return pre.select(
+        id_col, simhash60_expr(F.col("_hashes")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same math, relational form)
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(trim({t}), '\\s+'), w -> w <> '')"
+)
+
+
+def _shingles_sql(words: str, k: int = SHINGLE_K) -> str:
+    return (
+        f"CASE WHEN len({words}) >= {k} THEN "
+        f"list_transform(range(len({words}) - {k} + 1), i -> "
+        f"array_to_string(list_slice({words}, CAST(i+1 AS INT), CAST(i+{k} AS INT)), ' ')) "
+        f"ELSE [array_to_string({words}, ' ')] END"
+    )
+
+
+def minhash_bands_oracle_sql(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS s{i}"
+        for i in range(MINHASH_H)
+    )
+    band_rows = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(
+            f"s{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_rows.append(f"({b}, md5({parts}))")
+    words = _WORDS_SQL.format(t=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {_shingles_sql('words')} AS shingles
+  FROM (SELECT {id_col}, {words} AS words FROM {table})),
+sigs AS (
+  SELECT {id_col},
+    {sig_cols}
+  FROM base)
+SELECT {id_col}, band_idx, band_hash
+FROM sigs, LATERAL (VALUES {', '.join(band_rows)}) AS t(band_idx, band_hash)
+"""
+
+
+def lsh_pairs_oracle_sql(table: str = "documents",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    bands = minhash_bands_oracle_sql(table, text_col, id_col)
+    return f"""
+WITH bands AS ({bands})
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.{id_col} < b.{id_col}
+"""
+
+
+def jaccard_pairs_oracle_sql(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             threshold: float = 0.8) -> str:
+    pairs = lsh_pairs_oracle_sql(table, text_col, id_col)
+    words = _WORDS_SQL.format(t=text_col)
+    return f"""
+WITH pairs AS ({pairs}),
+ssets AS (
+  SELECT {id_col} AS sid, list_distinct({_shingles_sql('words')}) AS sset
+  FROM (SELECT {id_col}, {words} AS words FROM {table}))
+SELECT p.id_a, p.id_b,
+       CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard,
+       CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sset, b.sset))) >= {threshold} AS is_dup
+FROM pairs p
+JOIN ssets a ON p.id_a = a.sid
+JOIN ssets b ON p.id_b = b.sid
+"""
+
+
+def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hashes, h -> (h >> {b}) & 1 = 1)) "
+        f"> len(hashes) THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    words = _WORDS_SQL.format(t=text_col)
+    hash_fold = (
+        "list_transform(words, w -> "
+        "list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(w), CAST(i+1 AS INT), 1)) - 1 AS BIGINT) "
+        "* CAST(power(16, 14 - i) AS BIGINT))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {hash_fold} AS hashes
+  FROM (SELECT {id_col}, {words} AS words FROM {table}))
+SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash FROM base
+"""
+
+
+def exact_dedup_oracle_sql(table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    return f"""
+SELECT md5({text_col}) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN({id_col}) AS rep_id
+FROM {table} GROUP BY 1
+"""

