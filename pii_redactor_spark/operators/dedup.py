@@ -25,6 +25,9 @@ Scale-first design notes:
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,23 +61,37 @@ def shingles_expr(words: Column, k: int = SHINGLE_K) -> Column:
     return F.when(n >= k, full).otherwise(F.array(F.array_join(words, " ")))
 
 
-def minhash_sig_exprs(shingles: Column, h: int = MINHASH_H) -> list[Column]:
-    """H independent minhashes: min over shingles of md5(f'{i}:' || s).
-    Lexicographic min over fixed-width hex == numeric min over the
-    128-bit hash value, identical in Spark and DuckDB."""
-    # NB: bind the salt OUTSIDE the lambda — a two-parameter lambda
-    # (even `lambda s, i=i`) is treated by PySpark as an (element, index)
-    # higher-order function and `i` would become the index Column.
-    def one(i: int) -> Column:
-        prefix = F.lit(f"{i}:")
-        return F.array_min(F.transform(
-            shingles, lambda s: F.md5(F.concat(prefix, s))))
+@lru_cache(maxsize=None)
+def minhash_masks(h: int = MINHASH_H) -> tuple[int, ...]:
+    """60-bit XOR masks, mask_i = first 15 hex chars of md5('minhash:i').
+    Pure function — reproducible in any engine."""
+    return tuple(
+        int(hashlib.md5(f"minhash:{i}".encode()).hexdigest()[:15], 16)
+        for i in range(h)
+    )
 
-    return [one(i) for i in range(h)]
+
+def minhash_sig_exprs(hashes: Column, h: int = MINHASH_H) -> list[Column]:
+    """H minhashes over a pre-materialized array<bigint> of 60-bit
+    shingle hashes: sig_i = min over shingles of (hash XOR mask_i).
+
+    One md5 per shingle + H cheap XOR permutations instead of H full md5
+    passes — 16x less hashing, the dominant cost at corpus scale.
+
+    NB: single-parameter lambdas only — a two-parameter lambda (even
+    `lambda s, i=i`) is treated by PySpark as an (element, index)
+    higher-order function and the second arg becomes the index Column.
+    """
+    def one(mask: int) -> Column:
+        return F.array_min(F.transform(
+            hashes, lambda x: x.bitwiseXOR(F.lit(mask))))
+
+    return [one(m) for m in minhash_masks(h)]
 
 
 def word_hash60(w: Column) -> Column:
-    """First 60 bits of md5(word) as a signed bigint (conv parses hex)."""
+    """First 60 bits of md5(input) as a signed bigint (conv parses hex).
+    Signed-64-safe in both Spark and DuckDB; also used for shingles."""
     return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
 
 
@@ -105,16 +122,18 @@ def simhash60_expr(hashes: Column) -> Column:
 
 
 def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach `sig` (array<string> of H minhashes) via a two-step
-    projection (shingles materialized once, shared by all H mins)."""
+    """Attach `sig` (array<bigint> of H minhashes) via a staged
+    projection: words → shingles → 60-bit shingle hashes (one md5 each),
+    each materialized once and shared downstream."""
     pre = (
         docs
         .withColumn("_words", words_expr(F.col(text_col)))
         .withColumn("_shingles", shingles_expr(F.col("_words")))
+        .withColumn("_sh_hashes", F.transform(F.col("_shingles"), word_hash60))
     )
     return (
-        pre.withColumn("sig", F.array(*minhash_sig_exprs(F.col("_shingles"))))
-        .drop("_words", "_shingles")
+        pre.withColumn("sig", F.array(*minhash_sig_exprs(F.col("_sh_hashes"))))
+        .drop("_words", "_shingles", "_sh_hashes")
     )
 
 
@@ -126,7 +145,7 @@ def band_hashes(sig: Column, bands: int = LSH_BANDS,
         F.struct(
             F.lit(b).alias("band_idx"),
             F.md5(F.concat_ws(
-                "|", *[F.element_at(sig, b * rows + r + 1)
+                "|", *[F.element_at(sig, b * rows + r + 1).cast("string")
                        for r in range(rows)])).alias("band_hash"),
         )
         for b in range(bands)
@@ -240,22 +259,32 @@ def _shingles_sql(words: str, k: int = SHINGLE_K) -> str:
     )
 
 
+_HASH60_FOLD_SQL = (
+    "list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5({x}), CAST(i+1 AS INT), 1)) - 1 AS BIGINT) "
+    "* CAST(power(16, 14 - i) AS BIGINT)))"
+)
+
+
 def minhash_bands_oracle_sql(table: str = "documents",
                              text_col: str = "text",
                              id_col: str = "doc_id") -> str:
+    masks = minhash_masks(MINHASH_H)
     sig_cols = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS s{i}"
-        for i in range(MINHASH_H)
+        f"list_min(list_transform(sh_hashes, h -> xor(h, {m}))) AS s{i}"
+        for i, m in enumerate(masks)
     )
     band_rows = []
     for b in range(LSH_BANDS):
         parts = " || '|' || ".join(
-            f"s{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+            f"CAST(s{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
         band_rows.append(f"({b}, md5({parts}))")
     words = _WORDS_SQL.format(t=text_col)
+    fold = _HASH60_FOLD_SQL.format(x="s")
     return f"""
 WITH base AS (
-  SELECT {id_col}, {_shingles_sql('words')} AS shingles
+  SELECT {id_col},
+         list_transform({_shingles_sql('words')}, s -> {fold}) AS sh_hashes
   FROM (SELECT {id_col}, {words} AS words FROM {table})),
 sigs AS (
   SELECT {id_col},
@@ -309,12 +338,7 @@ def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
         for b in range(SIMHASH_BITS)
     )
     words = _WORDS_SQL.format(t=text_col)
-    hash_fold = (
-        "list_transform(words, w -> "
-        "list_sum(list_transform(range(15), i -> "
-        "CAST(strpos('0123456789abcdef', substr(md5(w), CAST(i+1 AS INT), 1)) - 1 AS BIGINT) "
-        "* CAST(power(16, 14 - i) AS BIGINT))))"
-    )
+    hash_fold = f"list_transform(words, w -> {_HASH60_FOLD_SQL.format(x='w')})"
     return f"""
 WITH base AS (
   SELECT {id_col}, {hash_fold} AS hashes
