@@ -409,6 +409,142 @@ def q_worstk_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token counting (whitespace + BPE-ish regex) — text-analysis op family.
 # ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
+# O30 — deterministic positional split (reference: optimizer.py:80-81 list
+# slicing). Spark has no row order, so the split is pinned by a
+# row_number window over doc_id (SURVEY §7.6 determinism guard).
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_SIZE = 300
+
+
+@register(
+    "q_split_train",
+    oracle=f"""
+    SELECT doc_id, lang, part
+    FROM (SELECT doc_id, lang,
+                 CASE WHEN ROW_NUMBER() OVER (ORDER BY doc_id)
+                      <= {SPLIT_TRAIN_SIZE}
+                      THEN 'train' ELSE 'val' END AS part
+          FROM documents)
+    """,
+)
+def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    rn = F.row_number().over(Window.orderBy("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang",
+                F.when(rn <= SPLIT_TRAIN_SIZE, F.lit("train"))
+                 .otherwise(F.lit("val")).alias("part"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O31 — seeded sample without replacement (reference: evaluator.py:37-43:
+# random.Random(seed).sample over indices >= exclude, then sorted). Exact
+# RNG parity with CPython is achieved by precomputing the index set
+# driver-side with the same RNG and pushing it down as an isin filter
+# (SURVEY §2.6 O31 note) — the distributed plan is a broadcast semi-join.
+# ---------------------------------------------------------------------------
+def _seeded_sample_ids(seed: int = 42, exclude: int = 100, k: int = 50,
+                       pool: int = 500) -> list[int]:
+    import random
+    return sorted(random.Random(seed).sample(range(exclude, pool), k))
+
+
+SAMPLE_IDS = _seeded_sample_ids()
+
+
+@register(
+    "q_seeded_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN ({', '.join(map(str, SAMPLE_IDS))})
+    """,
+)
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(SAMPLE_IDS))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O33 — enumerated ordering for the per-example report
+# (reference: evaluator.py:141 enumerate) — row_number per language.
+# ---------------------------------------------------------------------------
+@register(
+    "q_enumerate",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rn
+    FROM documents
+    """,
+)
+def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang",
+                F.row_number().over(w).cast("int").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational equi-join coverage (SURVEY §2.4: broadcast inner for small
+# dims + shuffle equi-join for fact tables): revenue per nation over
+# customer ⋈ orders ⋈ nation. The nation dim is broadcast explicitly;
+# customer⋈orders shuffles on custkey with AQE handling skew.
+# ---------------------------------------------------------------------------
+@register(
+    "q_nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+             .cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID kernel over the corpus (north-star fastText-style kernel;
+# kernels/langid.py) — not SQL-expressible, rows-only check.
+# ---------------------------------------------------------------------------
+@register("q_langid")
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.kernels.langid import make_langid_udf
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs
+        .withColumn("pred", make_langid_udf()("text"))
+        .select("doc_id", "lang",
+                F.col("pred.lang_pred").alias("lang_pred"),
+                F.col("pred.lang_conf").alias("lang_conf"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deduplication family (training-data pipeline ops; operators/dedup.py):
 # exact hash-dedup, MinHash+LSH bands, candidate pairs, Jaccard verify,
 # SimHash. All signatures are projection-only md5-based expressions so the
@@ -447,6 +583,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_fingerprint", oracle=_fp.fingerprints_oracle_sql())
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fp.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (operators/multimodal.py): binary payload +
+# mapInPandas decode/feature-extract with a deterministic fake decoder
+# (real decoders absent in sandbox). The oracle reproduces the fake's
+# md5 folds, so even the stub is correctness-gated; the `feature` array
+# column is exercised in pytest.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.operators import multimodal as _mm  # noqa: E402
+
+
+@register("q_media_meta", oracle=_mm.media_meta_oracle_sql())
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _mm.media_meta(docs).select(
+        "doc_id", "mime", "n_bytes", "width", "height", "duration_s",
+        "feature_checksum",
+    )
 
 
 # ---------------------------------------------------------------------------

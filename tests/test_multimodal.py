@@ -1,0 +1,58 @@
+"""Multimodal column plumbing: schema, batching, stubbed decode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pii_redactor_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_media_meta_schema_and_determinism(docs):
+    out = mm.media_meta(docs)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "mime", "n_bytes", "width", "height", "duration_s",
+        "feature", "feature_checksum",
+    ]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 500
+    # spot-check one row against the reference fake computed locally
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    doc_id = 7
+    w, h, d, feat = mm._fake_decode(src[doc_id].encode("utf-8"))
+    r = rows[doc_id]
+    assert (r["width"], r["height"], r["duration_s"]) == (w, h, d)
+    assert len(r["feature"]) == mm.FEATURE_DIM
+    assert r["feature"] == pytest.approx(feat, abs=1e-6)
+    assert r["n_bytes"] == len(src[doc_id].encode("utf-8"))
+    assert r["mime"] == mm.MIMES[doc_id % 3]
+
+
+def test_media_meta_bounds(docs):
+    import pyspark.sql.functions as F
+    bad = mm.media_meta(docs).filter(
+        (F.col("width") < 16) | (F.col("width") >= 16 + 1920)
+        | (F.col("height") < 16) | (F.col("height") >= 16 + 1080)
+        | (F.col("duration_s") < 0) | (F.col("duration_s") >= 360.0)
+    ).count()
+    assert bad == 0
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"\x89PNG...")
+
+
+def test_fake_decode_is_md5_derived():
+    payload = b"hello"
+    h = hashlib.md5(payload).hexdigest()
+    w, ht, d, feat = mm._fake_decode(payload)
+    assert w == 16 + int(h[0:8], 16) % 1920
+    assert ht == 16 + int(h[8:16], 16) % 1080
+    assert feat[0] == int(h[0:2], 16) / 255.0
