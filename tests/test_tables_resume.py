@@ -1,0 +1,139 @@
+"""Iceberg-emulation table layer: snapshots, time travel, atomic commits,
+and the kill-restart resume contract (SURVEY §5.2 item 6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.plans.pipeline import run_pipeline
+from pii_redactor_spark.tables import (
+    IcebergishTable,
+    MetricsTable,
+    remaining_buckets,
+    run_resumable,
+    with_bucket,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+                "doc_id", "text", "lang")
+    )
+
+
+def test_snapshot_append_overwrite_timetravel(spark, tmp_path):
+    t = IcebergishTable(tmp_path / "t")
+    assert not t.exists() and t.read(spark) is None
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    s0 = t.append(df1)
+    assert s0.snapshot_id == 0 and s0.parent_id is None
+    assert t.read(spark).count() == 2
+
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    s1 = t.append(df2)
+    assert s1.parent_id == 0
+    assert t.read(spark).count() == 3
+    # time travel: snapshot 0 still reads the pre-append state
+    assert t.read_at(spark, 0).count() == 2
+
+    s2 = t.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
+    assert t.read(spark).count() == 1
+    assert t.read_at(spark, s1.snapshot_id).count() == 3
+    assert [s.snapshot_id for s in t.snapshots()] == [0, 1, s2.snapshot_id]
+
+
+def test_bucketing_is_stable_and_total(spark, docs):
+    b = with_bucket(docs, "url", 8)
+    assert b.filter((F.col("bucket") < 0) | (F.col("bucket") >= 8)).count() == 0
+    # deterministic: same input -> same bucket assignment
+    a1 = {r["url"]: r["bucket"] for r in b.select("url", "bucket").collect()}
+    a2 = {r["url"]: r["bucket"] for r in b.select("url", "bucket").collect()}
+    assert a1 == a2
+
+
+def test_remaining_buckets():
+    assert remaining_buckets([0, 1, 2, 3], [1, 3]) == [0, 2]
+    assert remaining_buckets([0, 1], []) == [0, 1]
+    assert remaining_buckets([], [1]) == []
+
+
+def _run(spark, docs, base, run_id, **kw):
+    out = IcebergishTable(base / "out")
+    met = MetricsTable(base / "metrics")
+    n = run_resumable(
+        spark, docs, out, met, run_id=run_id,
+        transform=lambda df: run_pipeline(df, allowed_langs=("en",),
+                                          max_ppl=50.0)
+        .select("url", "doc_id", "keep", "bucket"),
+        n_buckets=8, buckets_per_commit=2, **kw)
+    return out, met, n
+
+
+def test_resume_after_crash_no_reprocess_and_identical_output(
+        spark, docs, tmp_path):
+    # single-shot reference run
+    ref_out, _, ref_commits = _run(spark, docs, tmp_path / "ref", "ref")
+    assert ref_commits == 4  # 8 buckets / 2 per commit
+    ref_rows = {(r["url"], r["keep"]) for r in ref_out.read(spark).collect()}
+
+    # crashed run: dies after 2 commits (4 of 8 buckets)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        _run(spark, docs, tmp_path / "r2", "run2", fail_after_commits=2)
+
+    out2 = IcebergishTable(tmp_path / "r2" / "out")
+    met2 = MetricsTable(tmp_path / "r2" / "metrics")
+    done_after_crash = met2.done_buckets(spark, "run2", "scrub")
+    assert len(done_after_crash) == 4
+    partial = out2.read(spark).count()
+
+    # restart with same run_id: processes ONLY the remaining 4 buckets
+    n2 = run_resumable(
+        spark, docs, out2, met2, run_id="run2",
+        transform=lambda df: run_pipeline(df, allowed_langs=("en",),
+                                          max_ppl=50.0)
+        .select("url", "doc_id", "keep", "bucket"),
+        n_buckets=8, buckets_per_commit=2)
+    assert n2 == 2  # 4 remaining buckets / 2 per commit
+    assert sorted(met2.done_buckets(spark, "run2", "scrub")) == list(range(8))
+
+    rows2 = {(r["url"], r["keep"]) for r in out2.read(spark).collect()}
+    assert rows2 == ref_rows               # identical final output
+    assert out2.read(spark).count() > partial  # crash state was partial
+
+
+def test_host_salting_splits_hot_hosts(spark):
+    from pii_redactor_spark.tables import hot_hosts, with_salted_host_key
+    # deliberately skewed synthetic corpus: 90% of urls on one host
+    rows = [(f"https://bighost.example/page/{i}",) for i in range(900)]
+    rows += [(f"https://site{i % 50}.example/p/{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "url string")
+
+    hot = hot_hosts(df, threshold=500)
+    assert hot == ["bighost.example"]
+
+    keyed = with_salted_host_key(df, hot=hot, salt_k=16)
+    sizes = {r["host_key"]: r["count"]
+             for r in keyed.groupBy("host_key").count().collect()}
+    hot_keys = [k for k in sizes if k.startswith("bighost.example#")]
+    cold_keys = [k for k in sizes if "#" not in k]
+    assert 2 <= len(hot_keys) <= 16          # hot host split across salts
+    assert max(sizes[k] for k in hot_keys) < 900 / 2  # no mega-partition
+    assert sum(sizes[k] for k in hot_keys) == 900     # nothing lost
+    assert all("example" in k for k in cold_keys)     # cold hosts unsalted
+
+
+def test_metrics_lineage_rows(spark, docs, tmp_path):
+    _, met, _ = _run(spark, docs, tmp_path / "m", "mrun")
+    mdf = met.read(spark)
+    rows = mdf.filter(F.col("run_id") == "mrun").collect()
+    assert {r["bucket"] for r in rows} == set(range(8))
+    assert all(r["stage"] == "scrub" for r in rows)
+    total = sum(r["n_docs"] for r in rows)
+    assert total == docs.count()
+    assert all(r["kept"] is not None and r["kept"] <= r["n_docs"]
+               for r in rows)
