@@ -79,32 +79,91 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
-    """Same pipeline job at ``local[low]`` and ``local[high]`` cores;
-    reports docs/sec at both + efficiency = (T_low/T_high)/(high/low)."""
-    from pii_redactor_spark.contract import QUERIES
+def _replicated_corpus(sf_dir: str, repl: int, n_parts: int) -> tuple[str, int]:
+    """Materialize a compute-dominated corpus: the sf documents replicated
+    ``repl`` times with distinct ids, written as ``n_parts`` parquet files
+    so both parallelism levels have enough input splits. Idempotent per
+    (sf_dir, repl)."""
+    import tempfile
 
+    out = Path(tempfile.gettempdir()) / (
+        f"bench_corpus_{Path(sf_dir).name}_x{repl}")
+    marker = out / "_SUCCESS"
+    spark = get_spark(app_name="bench_corpus_build", master="local[32]")
+    try:
+        if not marker.exists():
+            from pyspark.sql import functions as F
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            big = (
+                docs.crossJoin(spark.range(repl).select(
+                    F.col("id").alias("_rep")))
+                .withColumn("doc_id",
+                            F.col("doc_id") + F.col("_rep") * 1_000_000)
+                .drop("_rep")
+                .repartition(n_parts)
+            )
+            big.write.mode("overwrite").parquet(str(out))
+        n = spark.read.parquet(str(out)).count()
+    finally:
+        spark.stop()
+    return str(out), n
+
+
+def run_scaling(sf_dir: str, pairs=((2, 8), (8, 32)),
+                repl: int = 65, reps: int = 2) -> dict:
+    """North-rule two-cluster-size evidence (sandbox form): the same
+    pipeline job at ``local[N]`` and ``local[4N]`` cores over the same
+    replicated input; reports docs/sec at each level + per-pair scaling
+    efficiency = (T_low/T_high)/(high/low), best-of-``reps``.
+
+    The corpus is replicated (~325k docs) so per-doc kernel compute
+    dominates fixed job overheads — the regime a real multi-executor
+    cluster runs in. Two pairs are reported because local mode conflates
+    "more executors" with "more of one host's cores": each Python-UDF
+    task occupies a JVM thread AND a Python worker, so local[32] runs
+    ~64 runnable threads on a 32-core host (measured ~1.5x per-doc
+    core-time inflation), while both levels of the 2→8 pair are
+    uncontended — the honest analogue of adding executor HOSTS.
+    """
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+    from pii_redactor_spark.session import ship_package
+
+    corpus_path, n_docs = _replicated_corpus(sf_dir, repl, n_parts=256)
+    levels = sorted({c for pair in pairs for c in pair})
     results = {}
-    n_docs = None
-    for cores in (low, high):
+    for cores in levels:
         spark = get_spark(app_name=f"bench_scaling_{cores}",
                           master=f"local[{cores}]",
                           shuffle_partitions=max(cores, 8))
         try:
-            if n_docs is None:
-                n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-            df = QUERIES["q_pipeline_full"](spark, sf_dir)
-            _force(df)  # warm: plan construction + codegen + kernel fit
-            t0 = time.perf_counter()
-            _force(df)
-            dt = time.perf_counter() - t0
-            results[cores] = {"sec": round(dt, 3),
-                              "docs_per_sec": round(n_docs / dt, 1)}
+            ship_package(spark)
+            pages = spark.read.parquet(corpus_path).select(
+                F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+                "doc_id", "text", "lang")
+            df = run_pipeline(pages, allowed_langs=("en",), max_ppl=50.0) \
+                .select("url", "doc_id", "lang_pred", "ppl",
+                        "n_redactions", "keep")
+            _force(df)  # warm: codegen + per-worker kernel fit
+            best = min(_timed(_force, df) for _ in range(reps))
+            results[cores] = {"sec": round(best, 3),
+                              "docs_per_sec": round(n_docs / best, 1)}
         finally:
             spark.stop()
-    eff = (results[low]["sec"] / results[high]["sec"]) / (high / low)
-    return {"low_cores": low, "high_cores": high, "n_docs": n_docs,
-            "results": results, "scaling_efficiency": round(eff, 3)}
+    effs = {
+        f"{lo}->{hi}": round(
+            (results[lo]["sec"] / results[hi]["sec"]) / (hi / lo), 3)
+        for lo, hi in pairs
+    }
+    return {"n_docs": n_docs, "results": results,
+            "scaling_efficiency": effs}
+
+
+def _timed(fn, *args) -> float:
+    t0 = time.perf_counter()
+    fn(*args)
+    return time.perf_counter() - t0
 
 
 def main() -> None:
