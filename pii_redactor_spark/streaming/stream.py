@@ -1,0 +1,114 @@
+"""Structured Streaming slices of the engine.
+
+The reference is strictly batch (SURVEY §2.9) — the closest analogues are
+its cache-existence resume and its 20-thread fan-out. This module carries
+the engine's two streaming-shaped capabilities:
+
+- **Streaming scrub** (`scrub_stream`): the batch quality pipeline is
+  embarrassingly parallel, so it runs unchanged under ``foreachBatch`` —
+  a file-source ``readStream`` over corpus drops, each micro-batch scrubbed
+  and appended to the Iceberg-style output table with its lineage row. With
+  ``Trigger.AvailableNow`` this doubles as an incremental backfill runner:
+  restart it and only new files are processed (checkpointed source offsets —
+  the streaming twin of the bucket-resume path in tables.py).
+- **Windowed event aggregation** (`events_windowed_stream`): watermarked
+  tumbling-window counts/sums over a late-arriving event stream —
+  ``withWatermark`` + ``window()`` state, append-mode emission when the
+  watermark passes window end.
+
+At 100 TB the same topology holds: the scrub stream is stateless per-doc
+work (scales with partitions), the window agg keys state by (window,
+event_type) which AQE-independent state-store partitioning shards by
+``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.plans.pipeline import run_pipeline
+from pii_redactor_spark.tables import IcebergishTable, MetricsTable
+
+
+def scrub_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    output: IcebergishTable,
+    metrics: MetricsTable,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    max_files_per_trigger: int = 8,
+):
+    """File-source readStream → quality pipeline per micro-batch →
+    Iceberg-style append + lineage row. Returns the StreamingQuery
+    (caller awaits termination; AvailableNow drains current files)."""
+    pages = (
+        spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = run_pipeline(
+            batch_df, allowed_langs=("en",), max_ppl=50.0,
+        ).select("url", "doc_id", "lang_pred", "ppl", "n_redactions",
+                 "keep")
+        n = out.count()
+        if n == 0:
+            return
+        kept = out.filter(F.col("keep")).count()
+        output.append(out)
+        metrics.log(batch_df.sparkSession, [{
+            "run_id": run_id, "stage": f"stream-batch-{batch_id}",
+            "bucket": batch_id, "n_docs": n, "kept": kept,
+            "dropped": n - kept, "scrubbed": n,
+            "elapsed_s": None, "ts": None,
+        }])
+
+    return (
+        pages.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def events_windowed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+):
+    """Watermarked tumbling-window aggregation over a late-data event
+    stream (schema: the driver's events table). Append mode — a window
+    emits once, when the watermark passes its end."""
+    events = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(source_dir)
+    )
+    agg = (
+        events
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "total_value")
+    )
+    return (
+        agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,112 @@
+"""Physical-plan shape guards: the properties that make these operators
+viable at 100 TB, asserted on the optimized plans so regressions that
+silently de-optimize (lost pushdown, surprise shuffle, dropped broadcast)
+fail CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_lang_filter_pushed_to_scan(docs):
+    df = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan
+
+
+def test_column_pruning_reaches_scan(docs):
+    df = docs.select("doc_id")
+    plan = _plan(df)
+    # ReadSchema must not include the wide text column
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_pipeline_has_no_shuffle(spark, docs):
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+    from pii_redactor_spark.session import ship_package
+    ship_package(spark)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "doc_id", "text", "lang")
+    out = run_pipeline(pages, allowed_langs=("en",), max_ppl=50.0)
+    plan = _plan(out)
+    assert "Exchange" not in plan        # embarrassingly parallel
+    assert "ArrowEvalPython" in plan     # fused kernel pass is Arrow-batched
+    # exactly ONE Python eval: langid+ppl+scrub fused, text crosses the
+    # JVM->Python boundary once
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_fewshot_anti_join_is_broadcast(spark, docs):
+    ids = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    df = docs.join(F.broadcast(ids), "doc_id", "left_anti")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    from pii_redactor_spark.operators.similarity import ann_bruteforce
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ann_bruteforce(emb))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ann_lsh_is_broadcast_hash_join(spark):
+    from pii_redactor_spark.operators.similarity import ann_lsh
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ann_lsh(emb))
+    # bucket equi-join must hash-join on the broadcast query side,
+    # never nested-loop over the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_partial_aggregation(spark, docs):
+    from pii_redactor_spark.operators.dedup import exact_dedup
+    plan = _plan(exact_dedup(docs))
+    # map-side partial + final HashAggregate pair around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_nation_revenue_broadcasts_dim(spark):
+    from pii_redactor_spark.contract import QUERIES
+    plan = _plan(QUERIES["q_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(docs):
+    df = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20) \
+        .select("doc_id", "n_chars")
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_quality_stats_tokenizes_once(spark, docs):
+    from pii_redactor_spark.functions.rules import attach_quality_stats
+    out = attach_quality_stats(docs, "text").select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio",
+        "symbol_word_ratio", "alpha_word_ratio", "dup_line_ratio")
+    opt = _optimized(out)
+    # the words array must be computed once and shared, not re-inlined
+    # into every statistic (CollapseProject keeps multi-use non-cheap
+    # expressions materialized) — 13x measured regression otherwise
+    assert opt.count("split(trim(text") == 1
