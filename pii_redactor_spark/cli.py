@@ -1,0 +1,141 @@
+"""spark-submit entry point — the engine's mirror of the reference CLI
+(reference: main.py:36-58 argparse: default single-text redact,
+``--optimize`` corpus build, ``--evaluate [--randomize]`` held-out eval).
+
+Subcommands:
+
+  redact  <text>        one-document smoke path (reference: main.py:38,87-92)
+  run     --input --output --metrics --run-id [--n-buckets]
+                        resumable corpus pipeline (restart = resume)
+  evaluate [--offset --limit --randomize --seed]
+                        golden-fixture held-out evaluation
+  scaling [--low --high]
+                        two-parallelism throughput evidence
+
+Ship with: ``spark-submit --py-files pii_redactor_spark.zip -m
+pii_redactor_spark.cli ...`` — in local smoke runs ``ship_package``
+performs the addPyFile equivalent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.session import get_spark, ship_package
+
+
+def cmd_redact(args) -> int:
+    from pii_redactor_spark.functions.gazetteers import global_scrub_gazetteer
+    from pii_redactor_spark.kernels.scrub import make_scrub_udf
+
+    spark = get_spark(app_name="redact")
+    ship_package(spark)
+    udf = make_scrub_udf(enable_regex=True,
+                         global_gazetteer=global_scrub_gazetteer())
+    df = (
+        spark.createDataFrame([("cli://0", args.text)], "url string, text string")
+        .withColumn("r", udf("url", "text"))
+        .select("r.scrubbed_text", "r.n_redactions", "r.entities")
+    )
+    row = df.collect()[0]
+    print(json.dumps({
+        "redacted_text": row["scrubbed_text"],
+        "n_redactions": row["n_redactions"],
+        "entities": [{"value": e["value"], "label": e["label"]}
+                     for e in row["entities"]],
+    }))
+    return 0
+
+
+def cmd_run(args) -> int:
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+    from pii_redactor_spark.tables import (
+        IcebergishTable, MetricsTable, run_resumable)
+
+    spark = get_spark(app_name="pipeline_run")
+    ship_package(spark)
+    pages = spark.read.parquet(args.input)
+    if "url" not in pages.columns:
+        pages = pages.withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id")))
+    out = IcebergishTable(args.output)
+    met = MetricsTable(args.metrics)
+    commits = run_resumable(
+        spark, pages, out, met, run_id=args.run_id,
+        n_buckets=args.n_buckets,
+        transform=lambda df: run_pipeline(
+            df, allowed_langs=("en",), max_ppl=50.0)
+        .select("url", "doc_id", "lang_pred", "ppl", "n_redactions",
+                "keep", "bucket"),
+    )
+    n = out.read(spark).count()
+    print(json.dumps({"run_id": args.run_id, "commits_this_invocation": commits,
+                      "total_rows": n,
+                      "snapshot": out.current_snapshot_id()}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from pii_redactor_spark.fixtures import golden_df, per_url_gazetteer
+    from pii_redactor_spark.plans.evaluate import evaluate
+
+    spark = get_spark(app_name="evaluate")
+    ship_package(spark)
+    gold = golden_df(spark).select("url", "text", "redacted_text_gold")
+    _, summary = evaluate(
+        spark, gold, per_url_gazetteer=per_url_gazetteer(),
+        offset=args.offset, limit=args.limit,
+        randomize=args.randomize, seed=args.seed,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_scaling(args) -> int:
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from bench import run_scaling
+    out = run_scaling(args.sf_dir, pairs=((args.low, args.high),))
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pii_redactor_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("redact")
+    r.add_argument("text", nargs="?",
+                   default="Call John Smith at 555-123-4567")
+    r.set_defaults(fn=cmd_redact)
+
+    g = sub.add_parser("run")
+    g.add_argument("--input", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--metrics", required=True)
+    g.add_argument("--run-id", default="run")
+    g.add_argument("--n-buckets", type=int, default=8)
+    g.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("evaluate")
+    e.add_argument("--offset", type=int, default=0)
+    e.add_argument("--limit", type=int, default=None)
+    e.add_argument("--randomize", action="store_true")
+    e.add_argument("--seed", type=int, default=42)
+    e.set_defaults(fn=cmd_evaluate)
+
+    s = sub.add_parser("scaling")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    s.add_argument("--low", type=int, default=2)
+    s.add_argument("--high", type=int, default=8)
+    s.set_defaults(fn=cmd_scaling)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Held-out evaluation job — the engine's version of the reference's
+``main.py --evaluate`` path (reference: evaluator.py:66-105):
+
+1. build the devset with the reference's slicing semantics — sequential
+   offset window (evaluator.py:50-53) or seeded random sample with the
+   optimization window excluded (evaluator.py:37-48) — pinned to
+   deterministic url order (Spark has no implicit row order);
+2. run the scrub pipeline over the devset (the per-document "model call",
+   reference: evaluator.py:88-94, minus the 20-thread LLM fan-out — Spark
+   task parallelism replaces it);
+3. join predictions to gold on url (never positional zip, SURVEY O19)
+   and score every document with the hybrid metric (optimizer.py:94-139);
+4. aggregate the overall score (dspy.Evaluate mean, evaluator.py:95-96)
+   and emit the ordered per-example report (evaluator.py:125-161) — to a
+   DataFrame and optionally to the metrics lineage table.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pii_redactor_spark.kernels.scrub import make_scrub_udf
+from pii_redactor_spark.operators.metrics import token_f1, with_hybrid_score
+from pii_redactor_spark.tables import MetricsTable
+
+
+def slice_devset(
+    gold: DataFrame,
+    offset: int = 0,
+    limit: int | None = None,
+    randomize: bool = False,
+    seed: int = 42,
+    exclude_first: int = 0,
+) -> DataFrame:
+    """Reference slicing semantics over a url-ordered devset.
+
+    Sequential: rows [offset, offset+limit) of the url order
+    (evaluator.py:50-53). Randomized: CPython-exact seeded sample of
+    positions >= exclude_first, sorted ascending (evaluator.py:37-43) —
+    positions are materialized driver-side with the same RNG and pushed
+    down as a broadcast semi-join on row_number.
+    """
+    rn = F.row_number().over(Window.orderBy("url")) - 1  # 0-based position
+    pos = gold.withColumn("_pos", rn)
+    if randomize:
+        n = gold.count()
+        pool = range(exclude_first, n)
+        k = min(limit if limit is not None else n, len(pool))
+        picks = sorted(random.Random(seed).sample(pool, k))
+        out = pos.filter(F.col("_pos").isin(picks))
+    else:
+        out = pos.filter(F.col("_pos") >= offset)
+        if limit is not None:
+            out = out.filter(F.col("_pos") < offset + limit)
+    return out.drop("_pos")
+
+
+def evaluate(
+    spark: SparkSession,
+    gold: DataFrame,
+    per_url_gazetteer: dict[str, list[tuple[str, str]]] | None = None,
+    metrics_table: MetricsTable | None = None,
+    run_id: str = "evaluate",
+    enable_regex: bool | None = None,
+    **slice_kwargs,
+) -> tuple[DataFrame, dict]:
+    """Evaluate the scrub pipeline against a gold devset
+    ``(url, text, redacted_text_gold)``. Returns (per-example report,
+    summary dict with the overall 0-100 score as dspy.Evaluate reports
+    it, reference: evaluator.py:95-96).
+
+    ``enable_regex`` defaults to gazetteer-only when a per-url gazetteer
+    is supplied (the byte-parity configuration — the regex tier finds
+    extra structured spans the reference's gold does not mark) and to
+    regex-on otherwise.
+    """
+    if enable_regex is None:
+        enable_regex = not per_url_gazetteer
+    devset = slice_devset(gold, **slice_kwargs)
+    scrub = make_scrub_udf(per_url_gazetteer=per_url_gazetteer or {},
+                           enable_regex=enable_regex)
+    preds = devset.withColumn("_s", scrub("url", "text")).select(
+        "url", "text",
+        F.col("redacted_text_gold").alias("gold"),
+        F.col("_s.scrubbed_text").alias("pred"),
+        F.col("_s.n_redactions").alias("n_redactions"),
+    )
+    scored = (
+        with_hybrid_score(preds)
+        .withColumn("token_f1", token_f1("gold", "pred"))
+    )
+    report = (
+        scored
+        .withColumn("example_no",
+                    F.row_number().over(Window.orderBy("url")))
+        .select("example_no", "url", "gold", "pred", "hybrid_score",
+                "detection_recall", "classification_acc", "token_f1",
+                "severity")
+    )
+    agg = report.agg(
+        F.avg("hybrid_score").alias("avg"),
+        F.avg("token_f1").alias("f1"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("severity") == "correct", 1).otherwise(0))
+         .alias("n_correct"),
+    ).collect()[0]
+    summary = {
+        "score": round(100.0 * agg["avg"], 2),
+        "token_f1": round(100.0 * agg["f1"], 2),
+        "n_examples": agg["n"],
+        "n_correct": agg["n_correct"],
+    }
+    if metrics_table is not None:
+        metrics_table.log(spark, [{
+            "run_id": run_id, "stage": "evaluate", "bucket": None,
+            "n_docs": summary["n_examples"],
+            "kept": summary["n_correct"],
+            "dropped": summary["n_examples"] - summary["n_correct"],
+            "scrubbed": summary["n_examples"],
+            "elapsed_s": None, "ts": None,
+        }])
+    return report, summary

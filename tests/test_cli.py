@@ -1,0 +1,56 @@
+"""CLI contract (reference: main.py argparse + tests/unit/test_cli.py):
+each subcommand runs end-to-end and prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pii_redactor_spark.cli import main
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    return json.loads(out)
+
+
+def test_redact_default_text(spark, capsys):
+    got = _run(capsys, ["redact"])
+    assert "[TEL]" in got["redacted_text"]
+    assert "555-123-4567" not in got["redacted_text"]
+    assert got["n_redactions"] >= 1
+    assert any(e["label"] == "TEL" for e in got["entities"])
+
+
+def test_redact_email(spark, capsys):
+    got = _run(capsys, ["redact", "Mail me at jane.doe@example.com please"])
+    assert "[EMAIL]" in got["redacted_text"]
+    assert "jane.doe@example.com" not in got["redacted_text"]
+
+
+def test_evaluate_full(spark, capsys):
+    got = _run(capsys, ["evaluate"])
+    assert got["score"] == 100.0 and got["n_examples"] == 25
+
+
+def test_evaluate_slice(spark, capsys):
+    got = _run(capsys, ["evaluate", "--offset", "5", "--limit", "10"])
+    assert got["n_examples"] == 10 and got["score"] == 100.0
+
+
+def test_run_and_resume(spark, capsys, tmp_path):
+    args = ["run",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "out"),
+            "--metrics", str(tmp_path / "met"),
+            "--run-id", "cli-run", "--n-buckets", "4"]
+    got = _run(capsys, args)
+    assert got["total_rows"] == 500
+    assert got["commits_this_invocation"] == 2  # 4 buckets / 2 per commit
+    # re-invoke: everything checkpointed, nothing reprocessed
+    again = _run(capsys, args)
+    assert again["commits_this_invocation"] == 0
+    assert again["total_rows"] == 500

@@ -1,0 +1,88 @@
+"""Held-out evaluation job: slicing semantics + scoring on the golden
+fixtures (reference: evaluator.py; ports of tests/unit/test_evaluator.py
+slicing cases adapted to deterministic url order)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.fixtures import golden_df, per_url_gazetteer
+from pii_redactor_spark.plans.evaluate import evaluate, slice_devset
+from pii_redactor_spark.session import ship_package
+from pii_redactor_spark.tables import MetricsTable
+
+
+@pytest.fixture(scope="module")
+def gold(spark):
+    ship_package(spark)
+    return golden_df(spark).select("url", "text", "redacted_text_gold")
+
+
+def _urls(df):
+    return [r["url"] for r in df.orderBy("url").collect()]
+
+
+class TestSliceDevset:
+    def test_offset_window(self, gold):
+        all_urls = _urls(gold)
+        got = _urls(slice_devset(gold, offset=5, limit=10))
+        assert got == all_urls[5:15]
+
+    def test_end_capping(self, gold):
+        all_urls = _urls(gold)
+        got = _urls(slice_devset(gold, offset=20, limit=100))
+        assert got == all_urls[20:]
+
+    def test_seeded_sample_reproducible_and_sorted(self, gold):
+        a = _urls(slice_devset(gold, limit=10, randomize=True, seed=7))
+        b = _urls(slice_devset(gold, limit=10, randomize=True, seed=7))
+        assert a == b and len(a) == 10
+        c = _urls(slice_devset(gold, limit=10, randomize=True, seed=8))
+        assert a != c
+
+    def test_seeded_sample_matches_cpython_rng(self, gold):
+        all_urls = _urls(gold)
+        n = len(all_urls)
+        picks = sorted(random.Random(7).sample(range(3, n), 10))
+        expect = [all_urls[i] for i in picks]
+        got = _urls(slice_devset(gold, limit=10, randomize=True, seed=7,
+                                 exclude_first=3))
+        assert got == expect
+
+    def test_exclusion_window(self, gold):
+        all_urls = _urls(gold)
+        got = _urls(slice_devset(gold, limit=100, randomize=True,
+                                 exclude_first=20))
+        assert set(got).isdisjoint(all_urls[:20])
+
+
+class TestEvaluate:
+    def test_perfect_score_on_golden(self, spark, gold):
+        report, summary = evaluate(
+            spark, gold, per_url_gazetteer=per_url_gazetteer())
+        assert summary["n_examples"] == 25
+        # byte-identical scrub => every example scores 1.0
+        assert summary["score"] == 100.0
+        assert summary["n_correct"] == 25
+        rows = report.collect()
+        assert [r["example_no"] for r in
+                sorted(rows, key=lambda r: r["url"])] == list(range(1, 26))
+        assert all(r["severity"] == "correct" for r in rows)
+
+    def test_degraded_without_gazetteer(self, spark, gold):
+        # regex tier alone cannot find lexical entities (names, cities) —
+        # score must drop below perfect but detection still counts
+        _, summary = evaluate(spark, gold)
+        assert summary["score"] < 100.0
+        assert summary["score"] > 0.0
+
+    def test_metrics_sink(self, spark, gold, tmp_path):
+        met = MetricsTable(tmp_path / "m")
+        _, summary = evaluate(spark, gold,
+                              per_url_gazetteer=per_url_gazetteer(),
+                              metrics_table=met, run_id="ev1")
+        row = met.read(spark).filter(F.col("run_id") == "ev1").collect()[0]
+        assert row["n_docs"] == 25 and row["kept"] == 25
