@@ -375,6 +375,29 @@ def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Common-Crawl-shaped corpus (input_hint: url, warc_ts, html:binary, text,
+# lang; sources/corpus.py): per-url byte-identity of html→extracted text.
+# html synthesis + xxhash64 timestamps are not DuckDB-reproducible →
+# rows-only check; byte-identity is asserted by the query itself
+# (match=true for every row) and in test_corpus.py.
+# ---------------------------------------------------------------------------
+@register("q_corpus_roundtrip")
+def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.sources.corpus import (
+        extract_text_udf, from_documents)
+    corpus = from_documents(_t(spark, sf_dir, "documents"))
+    return (
+        corpus
+        .withColumn("extracted", extract_text_udf()(F.col("html")))
+        .select(
+            "url", "warc_ts", "lang",
+            F.length("html").alias("html_bytes"),
+            (F.col("extracted") == F.col("text")).alias("match"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full pipeline (langid + perplexity + scrub kernels) — not SQL-expressible;
 # the driver records a rows-only check (SURVEY §7.5).
 # ---------------------------------------------------------------------------
