@@ -10,13 +10,15 @@ heuristic quality rules, compiled-regex + gazetteer scrub) running as
 vectorized pandas/Arrow UDFs.
 
 Layout:
-    session       SparkSession factory with pinned configs
+    session       SparkSession factory with pinned configs + ship_package
+    tables        Iceberg-style table layer, checkpoint-resume, salting
     kernels/      scrub, langid, perplexity (numpy/pandas, Arrow-batched)
-    functions/    label extraction + quality-rule Column expressions
-    operators/    metrics, slicing, dedup, similarity — DataFrame combinators
-    sources/      corpus load/synthesis + Iceberg-style table layer
-    plans/        end-to-end pipeline assembly
-    streaming/    foreachBatch wrapper for the scrub stage
+    functions/    quality-rule Column expressions + gazetteers
+    operators/    metrics, dedup, similarity, fingerprint, multimodal
+    sources/      Common-Crawl-shaped corpus synthesis + html→text
+    plans/        pipeline assembly + held-out evaluation
+    streaming/    foreachBatch scrub + watermarked window aggs
+    cli           spark-submit entry points
 """
 
 __version__ = "0.1.0"
