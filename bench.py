@@ -37,6 +37,10 @@ HEADLINE = [
     "q_topk_longest",
     "q_token_count",
     "q_events_window",
+    "q_events_sessions",
+    "q_events_props_json",
+    "q_lineitem_pricing",
+    "q_nation_revenue",
     "q_quality_stats",
     "q_quality_keep",
     "q_dedup_exact",

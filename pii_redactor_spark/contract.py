@@ -185,6 +185,113 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q1-style big aggregation over lineitem (pricing summary): the
+# canonical partial+final hash-agg over the largest fact table; decimal
+# sums so shuffle order cannot perturb the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "q_lineitem_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+             .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                          * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))), 2)
+             .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON props extraction over events (SURVEY §2.8: from_json exercised on
+# the driver's stream table) + per-user sessionization via lag/cumsum —
+# the standard gaps-and-islands window pattern (30-minute idle gap).
+# ---------------------------------------------------------------------------
+@register(
+    "q_events_props_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("j", F.from_json("props", "k BIGINT"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("j.k")).cast("bigint").alias("k_sum"),
+             F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_events_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_no) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY 1
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp(F.col("ts").cast("timestamp"))
+               - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+               > 30 * 60),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ordered.withColumn(
+        "session_no", F.sum("new_session").over(wcum))
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.countDistinct("session_no").cast("bigint").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # O14/O21-O23/O27 — the hybrid PII metric + severity, evaluated on a literal
 # gold/pred pair table (reference: optimizer.py:86-139, truth table from
 # tests/unit/test_optimizer.py:27-113). Both sides compute multiset label

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5.1: no property testing in the reference): invariants
+of the scrub kernel, the hybrid metric, and the signature operators that
+must hold for ARBITRARY inputs, not just fixtures.
+
+Pure-Python/numpy properties only (no SparkSession per example — the
+kernels are pure functions, which is itself the property that makes them
+safe to run in executors)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pii_redactor_spark.kernels.scrub import scrub_text
+
+WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+    min_size=1, max_size=12)
+TEXT = st.lists(WORD, min_size=0, max_size=40).map(" ".join)
+LABEL = st.sampled_from(["GIVENNAME1", "LASTNAME1", "EMAIL", "TEL", "CITY"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT, st.lists(st.tuples(WORD, LABEL), min_size=0, max_size=5))
+def test_scrub_never_leaks_gazetteer_values(text, gaz):
+    scrubbed, ents = scrub_text(text, gaz, enable_regex=False)
+    for value, label in gaz:
+        # whole-word occurrences of any gazetteer value must be gone —
+        # same Unicode \w boundary semantics as the kernel and the
+        # reference's leak check (tests/unit/test_examples.py:80)
+        assert not re.search(
+            r"(?<!\w)" + re.escape(value) + r"(?!\w)",
+            scrubbed), (value, text, scrubbed)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_scrub_no_gazetteer_no_regex_is_identity(text):
+    scrubbed, ents = scrub_text(text, [], enable_regex=False)
+    assert scrubbed == text and ents == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT, st.lists(st.tuples(WORD, LABEL), min_size=0, max_size=5))
+def test_scrub_entity_offsets_point_at_values(text, gaz):
+    _, ents = scrub_text(text, gaz, enable_regex=False)
+    for e in ents:
+        assert text[e["start"]:e["end"]] == e["value"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT, st.lists(st.tuples(WORD, LABEL), min_size=1, max_size=5))
+def test_scrub_label_multiset_matches_entities(text, gaz):
+    scrubbed, ents = scrub_text(text, gaz, enable_regex=False)
+    emitted = Counter(re.findall(r"\[([A-Z]+\d*)\]", scrubbed))
+    expected = Counter(e["label"] for e in ents)
+    # every entity produced exactly one placeholder (values cannot contain
+    # brackets by construction of WORD)
+    assert emitted == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**60 - 1),
+                min_size=1, max_size=50))
+def test_minhash_masks_preserve_min_identity(hashes):
+    # sig over a multiset equals sig over its set (min is idempotent
+    # under duplication) — the property LSH relies on
+    from pii_redactor_spark.operators.dedup import minhash_masks
+    for m in minhash_masks(4):
+        a = min(h ^ m for h in hashes)
+        b = min(h ^ m for h in set(hashes))
+        assert a == b
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_hybrid_metric_bounds(gold, pred):
+    # port of the metric edge semantics as a property: score ∈ [0,1],
+    # equal texts always score 1.0 (reference: optimizer.py:112-139)
+    labels = re.compile(r"\[([A-Z]+\d*)\]")
+    g = labels.findall(gold.strip())
+    p = labels.findall(pred.strip())
+    tg, tp = len(g), len(p)
+    detected = min(tg, tp)
+    nc = sum((Counter(g) & Counter(p)).values())
+    if tg == 0 and tp == 0:
+        det, cls = 1.0, 1.0
+    elif tg == 0:
+        det, cls = 1.0, 1.0
+    elif tp == 0:
+        det, cls = 0.0, 0.0
+    else:
+        det = detected / tg
+        cls = nc / detected if detected > 0 else 0.0
+    hybrid = 0.75 * det + 0.25 * cls
+    assert 0.0 <= hybrid <= 1.0
+    if gold == pred:
+        assert hybrid == 1.0
