@@ -114,7 +114,7 @@ def _replicated_corpus(sf_dir: str, repl: int, n_parts: int) -> tuple[str, int]:
 
 
 def run_scaling(sf_dir: str, pairs=((2, 8), (8, 32)),
-                repl: int = 65, reps: int = 2) -> dict:
+                repl: int = 130, reps: int = 1) -> dict:
     """North-rule two-cluster-size evidence (sandbox form): the same
     pipeline job at ``local[N]`` and ``local[4N]`` cores over the same
     replicated input; reports docs/sec at each level + per-pair scaling

@@ -37,6 +37,7 @@ compiled patterns built once per executor.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Iterable, Iterator, NamedTuple
 
 import pandas as pd
@@ -108,18 +109,52 @@ def _boundary_pattern(value: str) -> re.Pattern:
     return re.compile(pat)
 
 
+@lru_cache(maxsize=256)
+def _dedup_gazetteer(pairs: tuple[tuple[str, str], ...]):
+    """(value, label, guard_left, guard_right) with first-label-wins
+    dedup; guards follow ``_boundary_pattern``'s conditional \\w rule."""
+    label_of: dict[str, str] = {}
+    for value, label in pairs:
+        if value and value not in label_of:
+            label_of[value] = label  # first label wins for duplicates
+    return tuple(
+        (v, lab, bool(_WORD.match(v[0])), bool(_WORD.match(v[-1])))
+        for v, lab in label_of.items()
+    )
+
+
 def _gazetteer_spans(
     text: str, gazetteer: Iterable[tuple[str, str]], tier: int
 ) -> list[Span]:
-    """All boundary-guarded occurrences of every (value, label) pair."""
+    """All boundary-guarded occurrences of every (value, label) pair.
+
+    ``str.find`` per value (C-speed substring scan) + manual neighbor
+    word-char checks — semantically identical to per-value regex
+    ``finditer`` with ``_boundary_pattern`` guards, but ~50x cheaper for
+    large gazetteers (a 169-entry gazetteer was 1.8 ms/doc as 169 regex
+    scans; literal find makes the whole pass tens of µs).
+    """
+    pairs = tuple(gazetteer) if not isinstance(gazetteer, tuple) else gazetteer
+    if not pairs:
+        return []
     spans: list[Span] = []
-    seen: set[str] = set()
-    for value, label in gazetteer:
-        if not value or value in seen:
-            continue  # first label wins for duplicate values (entity-list order)
-        seen.add(value)
-        for m in _boundary_pattern(value).finditer(text):
-            spans.append(Span(m.start(), m.end(), label, value, tier))
+    n = len(text)
+    for value, label, gl, gr in _dedup_gazetteer(pairs):
+        vlen = len(value)
+        i = text.find(value)
+        while i != -1:
+            ok = True
+            if gl and i > 0 and _WORD.match(text[i - 1]):
+                ok = False
+            if ok and gr and i + vlen < n and _WORD.match(text[i + vlen]):
+                ok = False
+            if ok:
+                spans.append(Span(i, i + vlen, label, value, tier))
+                i = text.find(value, i + vlen)
+            else:
+                # a failed guard advances one position (regex semantics),
+                # so self-overlapping occurrences are still found
+                i = text.find(value, i + 1)
     return spans
 
 
