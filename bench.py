@@ -170,6 +170,58 @@ def _timed(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
+def run_skew(sf_dir: str, repl: int = 130, salt_k: int = 16) -> dict:
+    """North-rule skew evidence: a host-keyed aggregation over the
+    deliberately skewed corpus (one hot host ≈ 50% of pages), unsalted vs
+    hot-host-salted (two-phase re-merge). Reports wall time and the max
+    reduce-group size — the quantity that becomes one executor's task at
+    cluster scale."""
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.sources.corpus import from_documents
+    from pii_redactor_spark.tables import hot_hosts, with_salted_host_key
+
+    corpus_path, n_docs = _replicated_corpus(sf_dir, repl, n_parts=256)
+    spark = get_spark(app_name="bench_skew", master="local[32]")
+    try:
+        pages = from_documents(spark.read.parquet(corpus_path))
+        host = F.parse_url("url", F.lit("HOST"))
+
+        def heavy_aggs():
+            return [
+                F.count("*").alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+                F.approx_count_distinct(F.md5("text")).alias("approx_uniq"),
+            ]
+
+        unsalted = pages.groupBy(host.alias("host")).agg(*heavy_aggs())
+        hot = hot_hosts(pages, threshold=n_docs // 10)
+        salted_pre = (
+            with_salted_host_key(pages, hot=hot, salt_k=salt_k)
+            .groupBy("host_key").agg(*heavy_aggs())
+        )
+        # phase 2: re-merge per true host (approx_uniq merges by max —
+        # an upper bound is fine for the skew demonstration)
+        salted = (
+            salted_pre
+            .groupBy(F.split("host_key", "#")[0].alias("host"))
+            .agg(F.sum("n").alias("n"), F.sum("chars").alias("chars"),
+                 F.max("approx_uniq").alias("approx_uniq"))
+        )
+        out = {"n_docs": n_docs, "hot_hosts": hot, "salt_k": salt_k}
+        for name, df, groups in (
+            ("unsalted", unsalted, unsalted),
+            ("salted", salted, salted_pre),
+        ):
+            _force(df)
+            t = min(_timed(_force, df) for _ in range(2))
+            mx = groups.agg(F.max("n")).collect()[0][0]
+            out[name] = {"sec": round(t, 3), "max_group_rows": mx}
+        return out
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -178,6 +230,9 @@ def main() -> None:
     if "--scaling" in sys.argv:
         out = run_scaling(sf_dir)
         print(json.dumps(out))
+        return
+    if "--skew" in sys.argv:
+        print(json.dumps(run_skew(sf_dir)))
         return
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")

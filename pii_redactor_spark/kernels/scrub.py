@@ -158,11 +158,33 @@ def _gazetteer_spans(
     return spans
 
 
+# Cheap prerequisite characters per pattern index: a pattern cannot match
+# if its gate char is absent, and `in` is a C memchr — most clean-text
+# documents skip 12 of the 14 scans entirely.
+_REGEX_GATES: list[str | None] = []
+for _label, _pat in REGEX_TIERS:
+    if _label in ("GEOCOORD",):
+        _REGEX_GATES.append("[")
+    elif _label == "EMAIL":
+        _REGEX_GATES.append("@")
+    else:
+        _REGEX_GATES.append(None)  # numeric family, gated by _DIGIT below
+
+_DIGIT_RE = re.compile(r"\d")
+_NUMERIC_LABELS = {"IP", "SOCIALNUMBER", "CREDITCARD", "TEL", "TIME",
+                   "DATE", "POSTCODE"}
+
+
 def _regex_spans(text: str) -> list[Span]:
     spans: list[Span] = []
+    has_digit = _DIGIT_RE.search(text) is not None
     # REGEX_TIERS order + the stable sort in _resolve make the earlier
     # pattern win ties at equal (start, length, tier).
-    for label, pattern in REGEX_TIERS:
+    for (label, pattern), gate in zip(REGEX_TIERS, _REGEX_GATES):
+        if gate is not None and gate not in text:
+            continue
+        if gate is None and label in _NUMERIC_LABELS and not has_digit:
+            continue
         for m in pattern.finditer(text):
             if m.start() == m.end():
                 continue
