@@ -705,6 +705,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register("q_dedup_components", oracle=_dd.dedup_components_oracle_sql())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative min-label propagation vs a recursive-CTE oracle — the
+    # keep-one-representative dedup output
+    return _dd.dedup_components(_t(spark, sf_dir, "documents"))
+
+
 @register("q_simhash", oracle=_dd.simhash_oracle_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.simhash(_t(spark, sf_dir, "documents"))

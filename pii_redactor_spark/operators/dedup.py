@@ -228,6 +228,83 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_components(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_iter: int = 20) -> DataFrame:
+    """Connected components over the LSH near-dup graph: every document
+    mapped to the min doc id of its duplicate cluster (the canonical
+    representative for dedup-keep-one).
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm — GraphFrames does the same under the hood): each round,
+    every node takes the min of its own component and its neighbors';
+    converges in O(diameter) rounds. Near-dup clusters have tiny
+    diameters, so this terminates in 2-3 rounds in practice; the loop is
+    driver-side but each round is one distributed join+groupBy, and
+    convergence is checked with a count (no row data collected).
+    """
+    edges = lsh_candidate_pairs(docs, text_col, id_col)
+    und = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+    )
+    labels = docs.select(F.col(id_col).alias("node"),
+                         F.col(id_col).alias("component"))
+    und = und.persist()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                und.join(labels, und.dst == labels.node)
+                .groupBy("src").agg(F.min("component").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min,
+                            labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist() if labels.is_cached else None
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def dedup_components_oracle_sql(table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    pairs = lsh_pairs_oracle_sql(table, text_col, id_col)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+SELECT d.{id_col},
+       LEAST(d.{id_col}, COALESCE(MIN(r.dst), d.{id_col})) AS component
+FROM {table} d LEFT JOIN reach r ON d.{id_col} = r.src
+GROUP BY d.{id_col}
+"""
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(id, simhash:bigint) — 60-bit SimHash per document."""

