@@ -100,6 +100,19 @@ def test_topk_uses_take_ordered(docs):
     assert "TakeOrderedAndProject" in _plan(df)
 
 
+def test_table_layer_bucket_partition_pruning(spark, docs, tmp_path):
+    from pii_redactor_spark.tables import IcebergishTable, with_bucket
+    t = IcebergishTable(tmp_path / "pt")
+    t.append(with_bucket(docs.select("doc_id", "text"), "doc_id", 8),
+             partition_by="bucket")
+    df = t.read(spark).filter(F.col("bucket") == 3).select("doc_id")
+    plan = _plan(df)
+    # the bucket predicate must prune partition directories at the scan,
+    # not filter rows post-hoc
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_quality_stats_tokenizes_once(spark, docs):
     from pii_redactor_spark.functions.rules import attach_quality_stats
     out = attach_quality_stats(docs, "text").select(
