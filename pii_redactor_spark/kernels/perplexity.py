@@ -45,11 +45,37 @@ def _encode(text: str) -> np.ndarray:
     return _LOOKUP[np.frombuffer(b, dtype=np.uint8)]
 
 
-@lru_cache(maxsize=1)
+@lru_cache(maxsize=8)
+def _learned_alphabet(lang: str) -> dict[str, int] | None:
+    """Per-language alphabet for non-Latin scripts: the ASCII alphabet
+    encodes e.g. Chinese to all-OTHER, so for languages whose seed
+    corpus is mostly non-ASCII we learn the top A-1 characters instead.
+    Returns None for Latin-script languages (ASCII fast path applies)."""
+    corpus = SEED_CORPORA[lang].lower()
+    ascii_frac = sum(c in _ALPHA for c in corpus) / max(len(corpus), 1)
+    if ascii_frac >= 0.5:
+        return None
+    from collections import Counter
+    top = [c for c, _ in sorted(Counter(corpus).items(),
+                                key=lambda kv: (-kv[1], kv[0]))[: A - 1]]
+    return {c: i for i, c in enumerate(top)}
+
+
+def _encode_for(text: str, lang: str) -> np.ndarray:
+    alpha = _learned_alphabet(lang) if lang in SEED_CORPORA else None
+    if alpha is None:
+        return _encode(text)
+    other = A - 1
+    return np.fromiter((alpha.get(c, other) for c in text.lower()),
+                       dtype=np.int64, count=len(text))
+
+
+@lru_cache(maxsize=8)
 def fit_charlm(lang: str = "en") -> np.ndarray:
     """Interpolated log-prob table, shape (A, A, A) float32:
-    logp[c1, c2, c3] = log p(c3 | c1 c2)."""
-    ids = _encode(SEED_CORPORA[lang])
+    logp[c1, c2, c3] = log p(c3 | c1 c2). One table per language,
+    cached per worker."""
+    ids = _encode_for(SEED_CORPORA[lang], lang)
     uni = np.ones(A)
     bi = np.ones((A, A))
     tri = np.ones((A, A, A))
@@ -64,14 +90,26 @@ def fit_charlm(lang: str = "en") -> np.ndarray:
     return np.log(p).astype(np.float32)
 
 
-def perplexity_batch(texts: "pd.Series | list[str]") -> list[float | None]:
-    logp = fit_charlm()
+def perplexity_batch(
+    texts: "pd.Series | list[str]",
+    langs: "pd.Series | list[str | None] | None" = None,
+) -> list[float | None]:
+    """Per-document perplexity. When ``langs`` is given (e.g. the langid
+    kernel's predictions), each document is scored under ITS language's
+    LM — a document is low-perplexity under the right model, so the
+    quality gate stays meaningful on a multilingual crawl. Unknown or
+    missing languages fall back to the English LM."""
     out: list[float | None] = []
-    for text in texts:
+    lang_list = list(langs) if langs is not None else None
+    for i, text in enumerate(texts):
         if text is None or len(str(text)) < 3:
             out.append(None)
             continue
-        ids = _encode(str(text))
+        lang = "en"
+        if lang_list is not None and lang_list[i] in SEED_CORPORA:
+            lang = lang_list[i]
+        logp = fit_charlm(lang)
+        ids = _encode_for(str(text), lang)
         lp = logp[ids[:-2], ids[1:-1], ids[2:]]
         out.append(float(np.exp(-lp.mean())))
     return out

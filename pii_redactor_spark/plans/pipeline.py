@@ -76,7 +76,8 @@ def make_fused_kernel_udf(
         fit_charlm()
         for urls, texts in batches:
             langs, confs = predict_lang_batch(texts)
-            ppls = perplexity_batch(texts)
+            # score each doc under ITS predicted language's LM
+            ppls = perplexity_batch(texts, langs)
             scrubbed_col: list[str | None] = []
             ents_col: list[list[dict] | None] = []
             n_col: list[int | None] = []

@@ -75,7 +75,8 @@ def oracle_decision(url: str, text: str) -> tuple[bool, set[str]]:
     lang = predict_lang_batch([text])[0][0]
     if lang not in ALLOWED:
         reasons.add("lang_not_allowed")
-    ppl = perplexity_batch([text])[0]
+    # ppl is scored under the PREDICTED language's LM (multilingual gate)
+    ppl = perplexity_batch([text], [lang])[0]
     if ppl is not None and ppl > MAX_PPL:
         reasons.add("perplexity_high")
     return (not reasons, reasons)

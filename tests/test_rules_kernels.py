@@ -92,6 +92,22 @@ class TestLangid:
 
 
 class TestPerplexity:
+    def test_language_matched_lm_scores_lower(self):
+        from pii_redactor_spark.kernels.corpora import SEED_CORPORA
+        from pii_redactor_spark.kernels.perplexity import perplexity_batch
+        de = SEED_CORPORA["de"][100:400]
+        # German text under the German LM beats it under the English LM
+        (ppl_de,) = perplexity_batch([de], ["de"])
+        (ppl_en,) = perplexity_batch([de], ["en"])
+        assert ppl_de < ppl_en
+        # Chinese needs its learned (non-ASCII) alphabet: natural zh
+        # scores far below shuffled zh under the zh LM
+        zh = SEED_CORPORA["zh"][:100]
+        garbled = zh[::-1]
+        (p_nat,) = perplexity_batch([zh], ["zh"])
+        (p_bad,) = perplexity_batch([garbled], ["zh"])
+        assert p_nat < p_bad
+
     def test_monotonicity(self):
         nat, garbled = perplexity_batch([NATURAL_EN, GARBLED])
         assert garbled > nat * 1.5
