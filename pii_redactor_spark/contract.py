@@ -723,6 +723,75 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL filtering + canonicalization (functions/url_rules.py) — the C4-style
+# pre-text gate. URLs are synthesized per doc_id so every rule fires
+# somewhere: media extension, blocked path, deep path, blocked host,
+# mixed-case canonicalization, query/fragment stripping.
+# ---------------------------------------------------------------------------
+_DEEP = "/p" * 12
+_URL_CASES_SQL = f"""
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN 'https://sitea.example/doc/' || doc_id
+  WHEN 1 THEN 'https://cdn.example/assets/img_' || doc_id || '.jpg'
+  WHEN 2 THEN 'https://shop.example/cart/item/' || doc_id || '?ref=abc#frag'
+  WHEN 3 THEN 'HTTPS://MiXeD.Example/Path/' || doc_id || '/'
+  WHEN 4 THEN 'https://deep.example{_DEEP}/' || doc_id
+  ELSE 'https://blocked.example/page/' || doc_id
+END
+"""
+
+_URL_BLOCKED_HOSTS = ["blocked.example"]
+
+from pii_redactor_spark.functions.url_rules import (  # noqa: E402
+    BLOCKED_EXTENSIONS as _BLOCKED_EXTS,
+)
+
+BLOCKED_EXT_SQL = "[" + ", ".join(f"'{e}'" for e in _BLOCKED_EXTS) + "]"
+
+
+@register(
+    "q_url_filter",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id, {_URL_CASES_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme
+      FROM urls),
+    canon AS (
+      SELECT *,
+        CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(path, '/+$', '') END AS cpath,
+        lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)) AS ext,
+        len(list_filter(string_split(path, '/'), p -> p <> '')) AS depth
+      FROM parts)
+    SELECT doc_id, host, path,
+           scheme || '://' || host || cpath AS canonical,
+           (NOT (length(url) > 2048)
+            AND host <> ''
+            AND NOT list_contains({BLOCKED_EXT_SQL}, ext)
+            AND depth <= 10
+            AND NOT regexp_matches(lower(path), '{'|'.join(
+                t for t in ("/wp-admin", "/wp-login", "/cgi-bin", "/login",
+                            "/signup", "/cart", "/checkout"))}')
+            AND NOT list_contains(['blocked.example'], host)) AS url_keep
+    FROM canon
+    """,
+)
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.functions.url_rules import (
+        canonical_url, with_url_rules)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_CASES_SQL).alias("url"))
+    return (
+        with_url_rules(docs, blocked_hosts=_URL_BLOCKED_HOSTS)
+        .withColumn("canonical", canonical_url("url"))
+        .select("doc_id", "host", "path", "canonical", "url_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (operators/multimodal.py): binary payload +
 # mapInPandas decode/feature-extract with a deterministic fake decoder
 # (real decoders absent in sandbox). The oracle reproduces the fake's
