@@ -488,6 +488,48 @@ def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only check; byte-identity is asserted by the query itself
 # (match=true for every row) and in test_corpus.py.
 # ---------------------------------------------------------------------------
+_FOLD8_SQL = (
+    "list_sum(list_transform(range(8), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('{salt}' || doc_id), "
+    "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT)))"
+)
+
+
+@register(
+    "q_corpus_daily",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        CASE WHEN {_FOLD8_SQL.format(salt='host:')} % 2 = 0
+             THEN 'bighost.example'
+             ELSE 'site' || lpad(CAST({_FOLD8_SQL.format(salt='host:')} % 20 AS VARCHAR), 2, '0') || '.example'
+        END AS host,
+        to_timestamp(1700000000 + {_FOLD8_SQL.format(salt='ts:')} % 2592000) AS warc_ts
+      FROM documents)
+    SELECT CAST(date_trunc('day', warc_ts) AS DATE) AS crawl_day,
+           host,
+           COUNT(*) AS n_pages
+    FROM corpus
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-day per-host page counts over the Common-Crawl-shaped corpus —
+    # the partition layout (crawl day x host bucket) a real crawl table
+    # prunes on. warc_ts/host derivations are md5-folds shared with the
+    # oracle bit-for-bit (sources/corpus.py).
+    from pii_redactor_spark.sources.corpus import from_documents
+    corpus = from_documents(_t(spark, sf_dir, "documents"))
+    return (
+        corpus
+        .groupBy(
+            F.date_trunc("day", "warc_ts").cast("date").alias("crawl_day"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
 @register("q_corpus_roundtrip")
 def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_redactor_spark.sources.corpus import (

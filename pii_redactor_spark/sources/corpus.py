@@ -107,8 +107,13 @@ def from_documents(docs: DataFrame) -> DataFrame:
     )
     url = F.concat(F.lit("https://"), host, F.lit("/doc/"),
                    F.col("doc_id").cast("string"))
+    # md5-fold (not xxhash64) so the DuckDB oracle reproduces timestamps
     warc_ts = F.timestamp_seconds(
-        F.lit(_BASE_TS) + F.pmod(F.xxhash64(url), F.lit(86_400 * 30)))
+        F.lit(_BASE_TS) + F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("ts:"), F.col("doc_id"))), 1, 8),
+                16, 10).cast("bigint"),
+            F.lit(86_400 * 30)))
 
     @F.pandas_udf("binary")
     def make_html(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
