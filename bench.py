@@ -50,6 +50,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_simhash",
     "q_ann_bruteforce",
+    "q_ann_ivf",
     "q_ann_lsh",
     "q_worstk_ppl",
     "q_pipeline_full",

@@ -861,6 +861,11 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_bruteforce(_t(spark, sf_dir, "embeddings"))
 
 
+@register("q_ann_ivf", oracle=_sim.ann_ivf_oracle_sql())
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_ivf(_t(spark, sf_dir, "embeddings"))
+
+
 @register("q_ann_lsh", oracle=_sim.ann_lsh_oracle_sql())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_lsh(_t(spark, sf_dir, "embeddings"))

@@ -184,11 +184,20 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        reuse_bands: bool = True) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) that share at least
     one LSH band. Equi self-join on (band_idx, band_hash) — the classic
-    MinHash-LSH bucket join; AQE splits skewed buckets."""
+    MinHash-LSH bucket join; AQE splits skewed buckets.
+
+    ``reuse_bands`` persists the band table so the self-join's two
+    branches don't recompute every signature (Spark shares no work across
+    join inputs). At cluster scale the same role is played by
+    materializing signatures to an Iceberg-style table (tables.py) —
+    persist is the single-job analogue."""
     b = minhash_bands(docs, text_col, id_col)
+    if reuse_bands:
+        b = b.persist()
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -212,6 +221,7 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .withColumn("_words", words_expr(F.col(text_col)))
         .select(F.col(id_col).alias("sid"),
                 F.array_distinct(shingles_expr(F.col("_words"))).alias("sset"))
+        .persist()  # joined twice (id_a side and id_b side)
     )
     return (
         pairs

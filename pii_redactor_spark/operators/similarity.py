@@ -171,6 +171,71 @@ def ann_lsh(emb: DataFrame, k: int = TOP_K,
     return _topk(scored, k)
 
 
+# nprobe tuned on the synthetic corpus: its embeddings are near-isotropic
+# (true top-10 neighbors spread over ~8 of 10 label clusters), so coarse
+# quantization is data-limited — nprobe=5 reaches recall 0.66 while
+# halving the scan; on corpora with real cluster structure nprobe=1-2 of
+# a larger centroid set is the usual operating point.
+IVF_NPROBE = 5
+
+
+def _centroids(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Coarse-quantizer centroids: per-label mean embedding, summed in
+    DECIMAL so the oracle reproduces every coordinate bit-for-bit
+    (double-sum order differs between engines). The label column stands
+    in for a k-means assignment — at scale you fit k-means once offline;
+    the probe/search plumbing is identical."""
+    aggs = [
+        (F.sum(F.col("v")[i].cast("decimal(28,12)"))
+         / F.count("*")).cast("double").alias(f"c{i}")
+        for i in range(dim)
+    ]
+    per = emb.select("label", as_double(F.col("embedding")).alias("v")) \
+        .groupBy("label").agg(*aggs)
+    return per.select(
+        "label", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv"))
+
+
+def ann_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
+            nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF path: assign corpus vectors to their nearest centroid
+    (inverted lists), probe the ``nprobe`` nearest lists per query, exact
+    cosine + top-k only within probed lists. The centroid table is tiny
+    and broadcast; the corpus is scanned once for assignment (at scale:
+    assigned at ingest and bucket-partitioned by list id)."""
+    from pyspark.sql.window import Window
+
+    queries, corpus = _split_queries(emb, n_queries)
+    cent = _centroids(emb)
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("label"))
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "qv", "label",
+                cosine(F.col("qv"), F.col("cv")).alias("ccos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "label")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("label"))
+    assigned = (
+        corpus.join(F.broadcast(cent))
+        .select("vec_id", "v", "label",
+                cosine(F.col("v"), F.col("cv")).alias("ccos"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "label")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "label")
+        .select("query_id", "vec_id",
+                cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+    )
+    return _topk(scored, k)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -199,6 +264,49 @@ c AS (SELECT vec_id, v FROM vecs WHERE vec_id >= {n_queries}),
 scored AS (
   SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim
   FROM c CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def ann_ivf_oracle_sql(table: str = "embeddings", k: int = TOP_K,
+                       n_queries: int = N_QUERIES,
+                       nprobe: int = IVF_NPROBE,
+                       dim: int = EMB_DIM) -> str:
+    cent_cols = ", ".join(
+        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE)"
+        for i in range(dim))
+    return f"""
+WITH vecs AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM {table}),
+cent AS (
+  SELECT label, [{cent_cols}] AS cv
+  FROM vecs GROUP BY label),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, v FROM vecs WHERE vec_id >= {n_queries}),
+probes AS (
+  SELECT query_id, qv, label FROM (
+    SELECT query_id, qv, cent.label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {_cos_sql('qv', 'cv')} DESC, cent.label ASC) AS rn
+    FROM q CROSS JOIN cent)
+  WHERE rn <= {nprobe}),
+assigned AS (
+  SELECT vec_id, v, label FROM (
+    SELECT c.vec_id, c.v, cent.label,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY {_cos_sql('v', 'cv')} DESC, cent.label ASC) AS rn
+    FROM c CROSS JOIN cent)
+  WHERE rn = 1),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM assigned JOIN probes USING (label)),
 ranked AS (
   SELECT query_id, vec_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY query_id

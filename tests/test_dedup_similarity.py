@@ -124,6 +124,17 @@ def test_ann_bruteforce_matches_numpy(emb, spark):
     assert got == expect
 
 
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.ann_bruteforce(emb).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in similarity.ann_ivf(emb).collect()}
+    recall = len(exact & approx) / len(exact)
+    # the synthetic embeddings are near-isotropic (neighbors spread
+    # across ~8 of 10 labels) — nprobe=5 of 10 lists measured 0.66
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_ann_lsh_recall_vs_bruteforce(emb):
     exact = {(r["query_id"], r["vec_id"])
              for r in similarity.ann_bruteforce(emb).collect()}
