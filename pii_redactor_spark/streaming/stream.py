@@ -77,6 +77,66 @@ def scrub_stream(
     )
 
 
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful streaming operator: cross-micro-batch exact dedup
+    via ``applyInPandasWithState`` — the streaming twin of
+    ``operators.dedup.exact_dedup``.
+
+    State is keyed by the content hash; the first document of a group
+    (across the stream's entire lifetime, checkpointed) is emitted,
+    every later duplicate is dropped and counted. Demonstrates the
+    engine's arbitrary-stateful-op surface: per-key GroupState,
+    Arrow-batched user code, append-mode emission.
+    """
+    import pandas as pd
+
+    pages = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withColumn("text_hash", F.md5("text"))
+    )
+
+    out_type = "text_hash string, url string, n_dups_so_far long"
+    state_type = "seen long"
+
+    def first_only(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url")
+            if seen == 0 and len(pdf) > 0:
+                first = pdf.iloc[0]
+                out.append(pd.DataFrame({
+                    "text_hash": [key[0]],
+                    "url": [first["url"]],
+                    "n_dups_so_far": [0],
+                }))
+            seen += len(pdf)
+        state.update((seen,))
+        if out:
+            yield from out
+
+    deduped = pages.groupBy("text_hash").applyInPandasWithState(
+        first_only, out_type, state_type, "append",
+        "NoTimeout",
+    )
+    return (
+        deduped.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def events_windowed_stream(
     spark: SparkSession,
     source_dir: str,

@@ -48,6 +48,31 @@ def test_scrub_stream_incremental(spark, tmp_path):
     assert met.read(spark).count() >= 2
 
 
+def test_stateful_dedup_stream_across_batches(spark, tmp_path):
+    from pii_redactor_spark.streaming.stream import dedup_stream
+    src = str(tmp_path / "dd_in")
+    outd = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = "url string, text string"
+
+    b1 = [("u://1", "alpha text"), ("u://2", "beta text"),
+          ("u://3", "alpha text")]                     # in-batch dup
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream(spark, src, schema, outd, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["url"] for r in spark.read.parquet(outd).collect()}
+    assert got1 == {"u://1", "u://2"}                  # first occurrence only
+
+    b2 = [("u://4", "alpha text"),                     # cross-batch dup
+          ("u://5", "gamma text")]                     # new content
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream(spark, src, schema, outd, ckpt)
+    q.awaitTermination(120)
+    got2 = {r["url"] for r in spark.read.parquet(outd).collect()}
+    # state survived the restart: alpha was NOT re-emitted for u://4
+    assert got2 == {"u://1", "u://2", "u://5"}
+
+
 def test_events_windowed_stream_matches_batch(spark, tmp_path):
     src = str(tmp_path / "ev_in")
     outd = str(tmp_path / "ev_out")
