@@ -405,6 +405,43 @@ def q_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_token_f1",
+    oracle=f"""
+    WITH pairs(id, gold, pred) AS (VALUES {_pairs_values_sql()}),
+    toks AS (
+      SELECT id,
+             string_split_regex(trim(gold), '\\s+') AS gt,
+             string_split_regex(trim(pred), '\\s+') AS pt
+      FROM pairs),
+    gc AS (SELECT id, tok, COUNT(*) AS cg
+           FROM (SELECT id, unnest(gt) AS tok FROM toks) GROUP BY 1, 2),
+    pc AS (SELECT id, tok, COUNT(*) AS cp
+           FROM (SELECT id, unnest(pt) AS tok FROM toks) GROUP BY 1, 2),
+    inter AS (
+      SELECT gc.id, SUM(LEAST(cg, cp)) AS common
+      FROM gc JOIN pc ON gc.id = pc.id AND gc.tok = pc.tok GROUP BY 1),
+    f AS (
+      SELECT toks.id,
+        CASE WHEN len(pt) > 0
+             THEN CAST(COALESCE(inter.common, 0) AS DOUBLE) / len(pt)
+             ELSE 0.0 END AS p,
+        CASE WHEN len(gt) > 0
+             THEN CAST(COALESCE(inter.common, 0) AS DOUBLE) / len(gt)
+             ELSE 0.0 END AS r
+      FROM toks LEFT JOIN inter ON toks.id = inter.id)
+    SELECT id, CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END
+               AS token_f1
+    FROM f
+    """,
+)
+def q_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O16 — token-multiset F1 diagnostic (reference: optimizer.py:12,208)
+    from pii_redactor_spark.operators.metrics import token_f1
+    df = spark.createDataFrame(METRIC_PAIRS, "id int, gold string, pred string")
+    return df.select("id", token_f1("gold", "pred").alias("token_f1"))
+
+
 # ---------------------------------------------------------------------------
 # North-star quality rules over the documents corpus — pure Column
 # expressions (functions/rules.py) vs a relational DuckDB re-derivation.
@@ -859,6 +896,11 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_ann_bruteforce", oracle=_sim.ann_bruteforce_oracle_sql())
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_bruteforce(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_embed_neardup", oracle=_sim.embedding_neardup_oracle_sql())
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
 @register("q_ann_ivf", oracle=_sim.ann_ivf_oracle_sql())

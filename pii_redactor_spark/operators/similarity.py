@@ -274,6 +274,64 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+# real-world near-dup thresholds sit at ~0.9+; the synthetic corpus is
+# isotropic noise (max pairwise cos 0.48), so the contract query uses a
+# threshold that actually selects its high-similarity tail
+NEARDUP_COS = 0.35
+
+
+def embedding_neardup_pairs(emb: DataFrame,
+                            threshold: float = NEARDUP_COS,
+                            planes: int = ANN_PLANES,
+                            bands: int = ANN_BANDS) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the WHOLE corpus
+    (vec_id_a < vec_id_b, cos >= threshold): LSH band self-join prunes
+    the O(n²) candidate space to colliding buckets, exact cosine
+    verifies. The dedup-by-embedding path of a training-data pipeline —
+    same shape as MinHash-LSH text dedup but in vector space."""
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    banded = (
+        vecs.select(
+            "vec_id", "v",
+            F.explode(band_buckets_expr(F.col("v"), planes, bands)).alias("b"))
+        .select("vec_id", "v", "b.band_idx", "b.band_bits")
+        .persist()  # both sides of the self-join
+    )
+    left = banded.select(F.col("vec_id").alias("id_a"),
+                         F.col("v").alias("va"), "band_idx", "band_bits")
+    right = banded.select(F.col("vec_id").alias("id_b"),
+                          F.col("v").alias("vb"), "band_idx", "band_bits")
+    return (
+        left.join(right, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_oracle_sql(table: str = "embeddings",
+                                 threshold: float = NEARDUP_COS,
+                                 planes: int = ANN_PLANES,
+                                 bands: int = ANN_BANDS) -> str:
+    return f"""
+WITH vecs AS ({_vecs_sql(table)}),
+banded AS (
+  SELECT vec_id, v, band_idx, band_bits
+  FROM vecs, LATERAL (VALUES {_band_rows_sql('v', planes, bands)})
+       AS t(band_idx, band_bits)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM banded a JOIN banded b USING (band_idx, band_bits)
+  WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round({_cos_sql('va', 'vb')}, 6) AS cos_sim
+FROM cand
+WHERE round({_cos_sql('va', 'vb')}, 6) >= {threshold}
+"""
+
+
 def ann_ivf_oracle_sql(table: str = "embeddings", k: int = TOP_K,
                        n_queries: int = N_QUERIES,
                        nprobe: int = IVF_NPROBE,
