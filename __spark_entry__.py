@@ -23,24 +23,27 @@ from pii_redactor_spark.session import ship_package  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: PII-scrub the sf0.001 documents corpus, return per-doc
-    scrub + quality stats (SURVEY.md §3.1 equivalent of ``redact(text)``)."""
+    """Flagship: the full quality pipeline over the sf0.001 corpus —
+    fused langid+perplexity+scrub kernel pass (ONE ArrowEvalPython),
+    JVM-side quality rules, keep/drop decision with reasons
+    (SURVEY.md §3.1, the engine's ``redact(text)`` + quality gate)."""
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+
     ship_package(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    scrub = make_scrub_udf(enable_regex=True,
-                           global_gazetteer=global_scrub_gazetteer())
     pages = docs.select(
         F.concat(F.lit("fixture://src/"), F.col("doc_id")).alias("url"),
         "doc_id", "text", "lang", "n_chars",
     )
-    return (
-        pages
-        .withColumn("result", scrub("url", "text"))
-        .select(
-            "url", "doc_id", "lang", "n_chars",
-            F.col("result.n_redactions").alias("n_redactions"),
-            F.length("result.scrubbed_text").alias("scrubbed_len"),
-        )
+    out = run_pipeline(pages, allowed_langs=("en",), max_ppl=50.0,
+                       global_gazetteer=global_scrub_gazetteer())
+    return out.select(
+        "url", "doc_id", "lang", "n_chars",
+        "lang_pred", F.round("lang_conf", 4).alias("lang_conf"),
+        F.round("ppl", 3).alias("ppl"),
+        "n_redactions",
+        F.length("scrubbed_text").alias("scrubbed_len"),
+        "keep", F.size("reasons").alias("n_reasons"),
     )
 
 
