@@ -28,7 +28,7 @@ def norm_value(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        return f"{v:.6g}"
+        return f"{v:.17g}"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, bytes):
