@@ -1,0 +1,70 @@
+"""Kernel artifact persistence (SURVEY §7.1 / §3.2 step (c)).
+
+The kernels fit deterministically from embedded seed corpora, so workers
+can always rebuild them — but a production job ships FITTED artifacts so
+(a) every executor is guaranteed the same tables even if corpora change
+between releases, and (b) fitting cost is paid once offline (the
+reference's analogue: the optimized-model JSON, optimizer.py:295-298,
+311-322, loaded at startup main.py:22-26).
+
+Artifacts are a directory of ``.npz`` files + a JSON manifest, small
+enough to ship via ``spark-submit --files`` / ``SparkFiles`` or
+``addPyFile``-adjacent distribution. ``load_artifacts`` pre-populates
+the kernels' lru caches, so loading wins over refitting transparently.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from pii_redactor_spark.kernels import langid as _langid
+from pii_redactor_spark.kernels import perplexity as _ppl
+from pii_redactor_spark.kernels.corpora import SEED_CORPORA
+
+MANIFEST = "manifest.json"
+
+
+def save_artifacts(path: str | Path) -> dict:
+    """Fit all kernels and write their tables + manifest to ``path``."""
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    langs, prior, lik = _langid.fit_langid()
+    np.savez_compressed(out / "langid.npz",
+                        langs=np.array(langs), prior=prior, lik=lik)
+    for lang in sorted(SEED_CORPORA):
+        np.savez_compressed(out / f"charlm_{lang}.npz",
+                            logp=_ppl.fit_charlm(lang))
+    manifest = {
+        "format": 1,
+        "langid": {"n_buckets": _langid.N_BUCKETS,
+                   "ngram_range": list(_langid.NGRAM_RANGE),
+                   "languages": langs},
+        "charlm": {"alphabet_size": _ppl.A,
+                   "lambdas": list(_ppl.LAMBDAS),
+                   "languages": sorted(SEED_CORPORA)},
+    }
+    (out / MANIFEST).write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+def load_artifacts(path: str | Path) -> dict:
+    """Load fitted tables from ``path`` into the kernel caches (wins over
+    refitting). Returns the manifest. Raises FileNotFoundError if the
+    directory has no manifest."""
+    out = Path(path)
+    manifest = json.loads((out / MANIFEST).read_text())
+
+    with np.load(out / "langid.npz", allow_pickle=False) as z:
+        langid_tables = (list(map(str, z["langs"])), z["prior"].copy(),
+                         z["lik"].copy())
+    charlms = {}
+    for lang in manifest["charlm"]["languages"]:
+        with np.load(out / f"charlm_{lang}.npz", allow_pickle=False) as z:
+            charlms[lang] = z["logp"].copy()
+
+    _langid.preload(langid_tables)
+    _ppl.preload(charlms)
+    return manifest

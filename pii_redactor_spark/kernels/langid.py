@@ -56,13 +56,27 @@ def _ngram_hashes(text: str) -> np.ndarray:
     return np.concatenate(hashes).astype(np.int64)
 
 
+_PRELOADED: "tuple[list[str], np.ndarray, np.ndarray] | None" = None
+
+
+def preload(tables: tuple[list[str], "np.ndarray", "np.ndarray"]) -> None:
+    """Install externally fitted tables (kernels/artifacts.py) — they win
+    over refitting from the embedded corpora."""
+    global _PRELOADED
+    _PRELOADED = tables
+    fit_langid.cache_clear()
+
+
 @lru_cache(maxsize=1)
 def fit_langid() -> tuple[list[str], np.ndarray, np.ndarray]:
-    """Fit add-one-smoothed NB log-likelihoods from the seed corpora.
+    """Fit add-one-smoothed NB log-likelihoods from the seed corpora
+    (or return preloaded artifact tables).
 
     Deterministic: pure function of the embedded text. Returns
     (languages, log_prior[L], log_lik[L, N_BUCKETS] float32).
     """
+    if _PRELOADED is not None:
+        return _PRELOADED
     langs = sorted(SEED_CORPORA)
     counts = np.ones((len(langs), N_BUCKETS), dtype=np.float64)  # +1 smoothing
     for i, lang in enumerate(langs):

@@ -70,11 +70,23 @@ def _encode_for(text: str, lang: str) -> np.ndarray:
                        dtype=np.int64, count=len(text))
 
 
+_PRELOADED: dict[str, np.ndarray] = {}
+
+
+def preload(tables: dict[str, "np.ndarray"]) -> None:
+    """Install externally fitted LM tables (kernels/artifacts.py)."""
+    _PRELOADED.clear()
+    _PRELOADED.update(tables)
+    fit_charlm.cache_clear()
+
+
 @lru_cache(maxsize=8)
 def fit_charlm(lang: str = "en") -> np.ndarray:
     """Interpolated log-prob table, shape (A, A, A) float32:
     logp[c1, c2, c3] = log p(c3 | c1 c2). One table per language,
-    cached per worker."""
+    cached per worker; preloaded artifacts win over refitting."""
+    if lang in _PRELOADED:
+        return _PRELOADED[lang]
     ids = _encode_for(SEED_CORPORA[lang], lang)
     uni = np.ones(A)
     bi = np.ones((A, A))
