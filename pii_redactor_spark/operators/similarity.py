@@ -142,11 +142,19 @@ def ann_bruteforce(emb: DataFrame, k: int = TOP_K,
 def ann_lsh(emb: DataFrame, k: int = TOP_K,
             n_queries: int = N_QUERIES,
             planes: int = ANN_PLANES,
-            bands: int = ANN_BANDS) -> DataFrame:
+            bands: int = ANN_BANDS,
+            multiprobe: bool = False) -> DataFrame:
     """LSH path: explode band buckets on both sides, equi-join on
     (band_idx, band_bits), dedup candidates, exact cosine + top-k only
-    within colliding buckets."""
+    within colliding buckets.
+
+    ``multiprobe`` additionally probes, per query band, every bucket at
+    Hamming distance 1 (flip each of the R bits) — the classic
+    multi-probe LSH recall boost: query-side fan-out grows R+1x (cheap,
+    queries are the tiny side) while the corpus keeps exactly one bucket
+    per band."""
     queries, corpus = _split_queries(emb, n_queries)
+    r = planes // bands
     qb = (
         queries
         .select("query_id", "qv",
@@ -154,6 +162,15 @@ def ann_lsh(emb: DataFrame, k: int = TOP_K,
                  .alias("b"))
         .select("query_id", "qv", "b.band_idx", "b.band_bits")
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("band_bits"),
+            *[F.col("band_bits").bitwiseXOR(F.lit(1 << j)) for j in range(r)],
+        )
+        qb = (
+            qb.select("query_id", "qv", "band_idx",
+                      F.explode(probes).alias("band_bits"))
+        )
     cb = (
         corpus
         .select("vec_id", "v",
@@ -395,13 +412,28 @@ def _band_rows_sql(vec: str, planes: int = ANN_PLANES,
 def ann_lsh_oracle_sql(table: str = "embeddings", k: int = TOP_K,
                        n_queries: int = N_QUERIES,
                        planes: int = ANN_PLANES,
-                       bands: int = ANN_BANDS) -> str:
-    return f"""
-WITH vecs AS ({_vecs_sql(table)}),
+                       bands: int = ANN_BANDS,
+                       multiprobe: bool = False) -> str:
+    r = planes // bands
+    if multiprobe:
+        q_cte = f"""
+q AS (SELECT DISTINCT vec_id AS query_id, qv, band_idx,
+             xor(base_bits, flip) AS band_bits
+      FROM (SELECT vec_id, v AS qv, band_idx, band_bits AS base_bits
+            FROM vecs, LATERAL (VALUES {_band_rows_sql('v', planes, bands)})
+                 AS t(band_idx, band_bits)
+            WHERE vec_id < {n_queries}),
+           LATERAL (VALUES (0){''.join(f', ({1 << j})' for j in range(r))})
+                 AS f(flip))"""
+    else:
+        q_cte = f"""
 q AS (SELECT vec_id AS query_id, v AS qv, band_idx, band_bits
       FROM vecs, LATERAL (VALUES {_band_rows_sql('v', planes, bands)})
            AS t(band_idx, band_bits)
-      WHERE vec_id < {n_queries}),
+      WHERE vec_id < {n_queries})"""
+    return f"""
+WITH vecs AS ({_vecs_sql(table)}),
+{q_cte},
 c AS (SELECT vec_id, v, band_idx, band_bits
       FROM vecs, LATERAL (VALUES {_band_rows_sql('v', planes, bands)})
            AS t(band_idx, band_bits)

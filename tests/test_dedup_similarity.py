@@ -102,6 +102,25 @@ def test_connected_components_chain(spark):
         assert comp[2] == 2
 
 
+def test_dedup_job_rewrites_corpus(spark, tmp_path):
+    from pii_redactor_spark.plans.dedup_job import run_dedup_job
+    from pii_redactor_spark.tables import IcebergishTable, MetricsTable
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, "tiny doc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = IcebergishTable(tmp_path / "out")
+    met = MetricsTable(tmp_path / "met")
+    summary = run_dedup_job(spark, docs, out, met, run_id="dd1")
+    assert summary["n_in"] == 5
+    kept_ids = {r["doc_id"] for r in out.read(spark).collect()}
+    assert 0 in kept_ids and 1 not in kept_ids   # exact dup dropped, rep kept
+    assert {3, 4} <= kept_ids                    # isolated docs survive
+    assert summary["n_kept"] == len(kept_ids)
+    assert summary["n_dups_removed"] >= 1
+    m = met.read(spark).collect()[0]
+    assert m["dropped"] == summary["n_dups_removed"]
+    assert m["stage"] == "dedup_rewrite"
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -145,3 +164,9 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     # true neighbors while scanning only colliding buckets (measured 0.74
     # at 32 planes x 8 bands on this corpus)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # Hamming-1 multi-probe recovers the full exact top-k here
+    mp = {(r["query_id"], r["vec_id"])
+          for r in similarity.ann_lsh(emb, multiprobe=True).collect()}
+    mp_recall = len(exact & mp) / len(exact)
+    assert mp_recall > recall
+    assert mp_recall >= 0.95, f"multiprobe recall: {mp_recall}"
