@@ -473,8 +473,18 @@ stats AS (
     CASE WHEN len(words) > 0
          THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words)
          ELSE 0.0 END AS alpha_word_ratio,
-    1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / GREATEST(len(lines), 1) AS dup_line_ratio
-  FROM base)
+    1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / GREATEST(len(lines), 1) AS dup_line_ratio,
+    CASE WHEN len(words) > 1 THEN
+      CAST(list_max(list_transform(
+             list_distinct(bigrams),
+             b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+        / (len(words) - 1)
+      ELSE 0.0 END AS top_bigram_ratio
+  FROM (SELECT *,
+          list_transform(range(GREATEST(len(words) - 1, 0)),
+            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)])
+          AS bigrams
+        FROM base))
 SELECT * FROM stats
 """
 
@@ -485,6 +495,7 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "n_words", "mean_word_len", "stopword_ratio",
         "symbol_word_ratio", "alpha_word_ratio", "dup_line_ratio",
+        "top_bigram_ratio",
     )
 
 
@@ -497,14 +508,16 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND symbol_word_ratio <= 0.1
        AND alpha_word_ratio >= 0.7
        AND stopword_ratio >= 0.02
-       AND dup_line_ratio <= 0.5) AS keep,
+       AND dup_line_ratio <= 0.5
+       AND top_bigram_ratio <= 0.25) AS keep,
       CAST((CASE WHEN n_words < 5 THEN 1 ELSE 0 END)
          + (CASE WHEN n_words > 100000 THEN 1 ELSE 0 END)
          + (CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 1 ELSE 0 END)
          + (CASE WHEN symbol_word_ratio > 0.1 THEN 1 ELSE 0 END)
          + (CASE WHEN alpha_word_ratio < 0.7 THEN 1 ELSE 0 END)
          + (CASE WHEN stopword_ratio < 0.02 THEN 1 ELSE 0 END)
-         + (CASE WHEN dup_line_ratio > 0.5 THEN 1 ELSE 0 END) AS INT) AS n_reasons
+         + (CASE WHEN dup_line_ratio > 0.5 THEN 1 ELSE 0 END)
+         + (CASE WHEN top_bigram_ratio > 0.25 THEN 1 ELSE 0 END) AS INT) AS n_reasons
     FROM ({_QUALITY_BASE_SQL})
     """,
 )

@@ -36,6 +36,7 @@ class QualityThresholds:
     min_alpha_word_ratio: float = 0.7    # Gopher: 80% words contain alpha
     min_stopword_ratio: float = 0.02     # Gopher: >=2 of a stop list
     max_dup_line_ratio: float = 0.5      # Gopher repetition family
+    max_top_bigram_ratio: float = 0.25   # Gopher: top-2-gram fraction
     toxicity_words: tuple[str, ...] = field(default=())
 
 
@@ -92,7 +93,29 @@ def quality_columns(
             lines, F.lit(0), lambda a, l: a + F.length(l)
         ).cast("double") / n_lines,
         "dup_line_ratio": F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+        "top_bigram_ratio": _top_bigram_ratio(words, n_words),
     }
+
+
+def _top_bigram_ratio(words: Column, n_words: Column) -> Column:
+    """Fraction of word bigrams occupied by the single most frequent
+    bigram (Gopher's repetition family: high = boilerplate/spam).
+    Pure expressions: bigrams, distinct, per-distinct count, max.
+    O(d*n) per doc with d = distinct bigrams — fine for web pages;
+    still zero shuffle."""
+    n_bi = n_words - 1
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n_bi - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2)),
+    )
+    counts = F.transform(
+        F.array_distinct(bigrams),
+        lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+    )
+    return F.when(
+        n_bi > 0, F.array_max(counts).cast("double") / n_bi
+    ).otherwise(F.lit(0.0))
 
 
 def toxicity_hit(text: Column | str, toxicity_words: list[str]) -> Column:
@@ -126,6 +149,8 @@ def keep_decision(th: QualityThresholds | None = None) -> tuple[Column, Column]:
         ("alpha_ratio_low", F.col("alpha_word_ratio") < th.min_alpha_word_ratio),
         ("stopword_ratio_low", F.col("stopword_ratio") < th.min_stopword_ratio),
         ("dup_lines_high", F.col("dup_line_ratio") > th.max_dup_line_ratio),
+        ("repeated_bigram_high",
+         F.col("top_bigram_ratio") > th.max_top_bigram_ratio),
     ]
     if th.toxicity_words:
         checks.append(("toxicity", F.col("is_toxic")))

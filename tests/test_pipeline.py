@@ -69,6 +69,11 @@ def oracle_decision(url: str, text: str) -> tuple[bool, set[str]]:
     lines = [l for l in text.split("\n") if l.strip()]
     if lines and 1 - len(set(lines)) / len(lines) > TH.max_dup_line_ratio:
         reasons.add("dup_lines_high")
+    if n > 1:
+        from collections import Counter
+        bigrams = Counter(zip(words, words[1:]))
+        if max(bigrams.values()) / (n - 1) > TH.max_top_bigram_ratio:
+            reasons.add("repeated_bigram_high")
     low = {w.lower() for w in words}
     if any(t in low for t in TH.toxicity_words):
         reasons.add("toxicity")

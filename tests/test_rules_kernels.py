@@ -62,6 +62,20 @@ class TestQualityRules:
     def test_toxicity(self, quality):
         assert "toxicity" in quality["toxic"]["reasons"]
 
+    def test_repeated_bigram(self, spark):
+        from pii_redactor_spark.functions.rules import with_quality
+        rows = [
+            (0, "buy now " * 20),                      # one bigram dominates
+            (1, "the quick brown fox jumps over a lazy dog near the river"),
+        ]
+        df = with_quality(
+            spark.createDataFrame(rows, "doc_id long, text string"))
+        out = {r["doc_id"]: r for r in df.collect()}
+        assert out[0]["top_bigram_ratio"] > 0.4
+        assert "repeated_bigram_high" in out[0]["reasons"]
+        assert out[1]["top_bigram_ratio"] < 0.25
+        assert "repeated_bigram_high" not in out[1]["reasons"]
+
     def test_stats_sane(self, quality):
         ok = quality["ok"]
         assert ok["n_words"] == len(NATURAL_EN.split())
