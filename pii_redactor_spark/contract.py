@@ -884,6 +884,45 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-host quota sampling (operators/sampling.py): cap documents per host
+# with a deterministic md5 priority; hot host (≈50% of the corpus via the
+# skewed url mapping) gets clamped, cold hosts pass through.
+# ---------------------------------------------------------------------------
+_CORPUS_URLS_SQL = f"""
+SELECT doc_id,
+  'https://' ||
+  CASE WHEN {_FOLD8_SQL.format(salt='host:')} % 2 = 0
+       THEN 'bighost.example'
+       ELSE 'site' || lpad(CAST({_FOLD8_SQL.format(salt='host:')} % 20 AS VARCHAR), 2, '0') || '.example'
+  END || '/doc/' || doc_id AS url
+FROM documents
+"""
+
+
+@register(
+    "q_host_cap",
+    oracle=None,  # set below (needs the urls CTE)
+)
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.operators.sampling import cap_per_host
+    from pii_redactor_spark.sources.corpus import from_documents
+    corpus = from_documents(_t(spark, sf_dir, "documents")).select(
+        F.col("url"),
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+         .alias("doc_id"),
+    )
+    return cap_per_host(corpus, max_per_host=25).select(
+        "doc_id", "url", "host")
+
+
+from pii_redactor_spark.operators.sampling import (  # noqa: E402
+    cap_per_host_oracle_sql as _cap_sql,
+)
+
+ORACLE_SQL["q_host_cap"] = _cap_sql(_CORPUS_URLS_SQL, max_per_host=25)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (operators/multimodal.py): binary payload +
 # mapInPandas decode/feature-extract with a deterministic fake decoder
 # (real decoders absent in sandbox). The oracle reproduces the fake's

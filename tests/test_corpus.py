@@ -79,6 +79,21 @@ def test_synthesize_standalone(spark):
     assert m == 0
 
 
+def test_per_host_cap(spark, corpus):
+    import pyspark.sql.functions as F
+    from pii_redactor_spark.operators.sampling import cap_per_host
+    capped = cap_per_host(corpus.select("url"), max_per_host=10)
+    sizes = {r["host"]: r["count"]
+             for r in capped.groupBy("host").count().collect()}
+    assert max(sizes.values()) <= 10
+    assert sizes[HOT_HOST] == 10          # hot host clamped exactly
+    # determinism: same cap, same selection
+    a = sorted(r["url"] for r in capped.collect())
+    b = sorted(r["url"] for r in
+               cap_per_host(corpus.select("url"), max_per_host=10).collect())
+    assert a == b
+
+
 def test_pipeline_runs_over_corpus_shape(spark, corpus):
     from pii_redactor_spark.plans.pipeline import run_pipeline
     out = run_pipeline(corpus, allowed_langs=("en",), max_ppl=50.0)
