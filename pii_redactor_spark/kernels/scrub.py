@@ -84,6 +84,22 @@ REGEX_TIERS: list[tuple[str, re.Pattern]] = [
         r"(?<![\w/.-])\d{1,2}[/-]\d{1,2}[/-]\d{2,4}(?![\w/-])"
     )),
     ("POSTCODE", re.compile(r"(?<![\w-])\d{5}(?:-\d{4})?(?![\w-])")),
+    # conservative context/format patterns for the document classes
+    # (SURVEY §7.2 M2; national formats vary — tuned for low false-fire):
+    ("PASSPORT", re.compile(
+        r"(?<![\w-])(?:[Pp]assport\s*(?:[Nn]o\.?|#)?[: ]\s*)[A-Z]{1,2}\d{6,9}(?![\w-])"
+        r"|(?<![\w-])[A-Z]{2}\d{7}(?![\w-])"
+    )),
+    ("DRIVERLICENSE", re.compile(
+        r"(?<![\w-])(?:[Dd](?:river'?s)?\.?\s*[Ll]icen[cs]e\s*(?:[Nn]o\.?|#)?[:# ]\s*)"
+        r"[A-Z0-9]{1,3}[- ]?\d{3,4}(?:[- ]\d{3,4}){0,2}(?![\w-])"
+    )),
+    ("IDCARD", re.compile(
+        r"(?<![\w-])[Ii][Dd](?:\s*[Cc]ard)?\s*(?:[Nn]o\.?|#)?[:# ]\s*[A-Z0-9-]{5,12}(?![\w-])"
+    )),
+    ("USERNAME", re.compile(
+        r"(?<![\w.@])@[A-Za-z0-9_]{3,30}(?![\w@])"
+    )),
     ("STREET", re.compile(
         r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)? "
         r"(?:Street|Avenue|Road|Lane|Boulevard|Drive|Grove|Court|Highway)\b"
@@ -165,14 +181,15 @@ _REGEX_GATES: list[str | None] = []
 for _label, _pat in REGEX_TIERS:
     if _label in ("GEOCOORD",):
         _REGEX_GATES.append("[")
-    elif _label == "EMAIL":
+    elif _label in ("EMAIL", "USERNAME"):
         _REGEX_GATES.append("@")
     else:
         _REGEX_GATES.append(None)  # numeric family, gated by _DIGIT below
 
 _DIGIT_RE = re.compile(r"\d")
 _NUMERIC_LABELS = {"IP", "SOCIALNUMBER", "CREDITCARD", "TEL", "TIME",
-                   "DATE", "POSTCODE"}
+                   "DATE", "POSTCODE", "PASSPORT", "DRIVERLICENSE",
+                   "IDCARD"}
 
 
 def _regex_spans(text: str) -> list[Span]:

@@ -147,6 +147,29 @@ class TestRegexTierUnits:
         scrubbed, ents = scrub_text(text)
         assert [e["label"] for e in ents] == [label], scrubbed
 
+    def test_document_id_classes(self):
+        # context-anchored patterns redact the full PII-bearing span
+        # (prefix included), so assert the label fires and the id value
+        # is gone
+        cases = [
+            ("Passport No: AB1234567 issued", "PASSPORT", "AB1234567"),
+            ("code XY9876543 on file", "PASSPORT", "XY9876543"),
+            ("Driver's License #: D123-4567-8901", "DRIVERLICENSE",
+             "D123-4567-8901"),
+            ("ID card no: A12345678", "IDCARD", "A12345678"),
+            ("ping @some_user about it", "USERNAME", "@some_user"),
+        ]
+        for text, label, value in cases:
+            scrubbed, ents = scrub_text(text, (), enable_regex=True)
+            assert any(e["label"] == label for e in ents), (text, ents)
+            assert value not in scrubbed, (text, scrubbed)
+
+    def test_username_does_not_eat_emails(self):
+        scrubbed, ents = scrub_text(
+            "write to jane.doe@example.com today", (), enable_regex=True)
+        assert "[EMAIL]" in scrubbed
+        assert all(e["label"] != "USERNAME" for e in ents)
+
     def test_boundary_guard_no_partial_match(self):
         # "F" as a gazetteer value must not fire inside "UTF-8"
         scrubbed, _ = scrub_text('encoding="UTF-8" sex: F', [("F", "SEX")],
