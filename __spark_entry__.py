@@ -18,7 +18,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pii_redactor_spark.contract import ORACLE_SQL, QUERIES  # noqa: E402
 from pii_redactor_spark.functions.gazetteers import global_scrub_gazetteer  # noqa: E402
-from pii_redactor_spark.kernels.scrub import make_scrub_udf  # noqa: E402
 from pii_redactor_spark.session import ship_package  # noqa: E402
 
 

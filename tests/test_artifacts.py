@@ -50,8 +50,6 @@ def test_loaded_tables_are_used(tmp_path):
     save_artifacts(tmp_path / "art")
     # corrupt the loaded langid likelihoods -> predictions must change,
     # proving the loaded tables (not a refit) are in use
-    import json
-    import numpy as np
     z = np.load(tmp_path / "art" / "langid.npz", allow_pickle=False)
     np.savez_compressed(
         tmp_path / "art" / "langid.npz",
