@@ -44,7 +44,22 @@ MEDIA_META_SCHEMA = StructType([
     StructField("duration_s", DoubleType()),
     StructField("feature", ArrayType(FloatType())),
     StructField("feature_checksum", DoubleType()),
+    StructField("frame_samples", ArrayType(DoubleType())),
 ])
+
+MAX_FRAME_SAMPLES = 4
+
+
+def sample_frames(duration_s: float,
+                  max_samples: int = MAX_FRAME_SAMPLES) -> list[float]:
+    """Deterministic frame-sample timestamps: up to ``max_samples``
+    evenly spaced seek points (the shape a video frame-sampler emits;
+    the actual frame decode is the stubbed step)."""
+    if duration_s <= 0:
+        return []
+    n = max_samples
+    step = duration_s / n
+    return [round(step * i + step / 2, 3) for i in range(n)]
 
 MIMES = ("image/png", "audio/wav", "video/mp4")
 FEATURE_DIM = 8
@@ -108,6 +123,10 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
                 "duration_s": [m[2] for m in metas],
                 "feature": [m[3] for m in metas],
                 "feature_checksum": [round(sum(m[3]), 6) for m in metas],
+                "frame_samples": [
+                    sample_frames(m[2]) if mime.startswith("video/") else []
+                    for m, mime in zip(metas, pdf["mime"])
+                ],
             })
 
     return media.mapInPandas(run, MEDIA_META_SCHEMA)

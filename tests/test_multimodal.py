@@ -18,7 +18,7 @@ def test_media_meta_schema_and_determinism(docs):
     out = mm.media_meta(docs)
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "mime", "n_bytes", "width", "height", "duration_s",
-        "feature", "feature_checksum",
+        "feature", "feature_checksum", "frame_samples",
     ]
     rows = {r["doc_id"]: r for r in out.collect()}
     assert len(rows) == 500
@@ -42,6 +42,18 @@ def test_media_meta_bounds(docs):
         | (F.col("duration_s") < 0) | (F.col("duration_s") >= 360.0)
     ).count()
     assert bad == 0
+
+
+def test_frame_samples_only_for_video(docs):
+    rows = mm.media_meta(docs).collect()
+    for r in rows:
+        if r["mime"].startswith("video/"):
+            fs = r["frame_samples"]
+            assert 0 < len(fs) <= mm.MAX_FRAME_SAMPLES
+            assert all(0 < t < r["duration_s"] for t in fs)
+            assert fs == sorted(fs)
+        else:
+            assert r["frame_samples"] == []
 
 
 def test_real_decode_is_gated():
