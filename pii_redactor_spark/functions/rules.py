@@ -112,18 +112,30 @@ def quality_columns(
 def _top_bigram_ratio(bigrams: Column, n_words: Column) -> Column:
     """Fraction of word bigrams occupied by the single most frequent
     bigram (Gopher's repetition family: high = boilerplate/spam).
-    O(d*n) comparisons per doc with d = distinct bigrams — fine for web
-    pages, zero shuffle. IMPORTANT: pass a *materialized* bigrams column
-    (attach_quality_stats does) — an unbound expression here is
-    re-evaluated once per distinct element by the nested HOF (measured
-    8s vs 0.5s on sf0.1)."""
+
+    Modal count via sort + longest-equal-run in ONE aggregate pass —
+    O(n log n) instead of the naive O(d*n) distinct-x-filter formulation
+    (which cost 3.4k string comparisons per 60-word doc and tripled the
+    pipeline's corpus-scale runtime). Zero shuffle either way; pass a
+    *materialized* bigrams column (attach_quality_stats does) so nested
+    HOFs don't re-evaluate the construction per element."""
     n_bi = n_words - 1
-    counts = F.transform(
-        F.array_distinct(bigrams),
-        lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     return F.when(
-        n_bi > 0, F.array_max(counts).cast("double") / n_bi
+        n_bi > 0, run.cast("double") / n_bi
     ).otherwise(F.lit(0.0))
 
 
