@@ -15,7 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pii_redactor_spark.functions.rules import QualityThresholds, with_quality
+from pii_redactor_spark.functions.rules import (
+    QualityThresholds, keep_decision, with_quality)
 from pii_redactor_spark.operators.metrics import with_hybrid_score
 from pii_redactor_spark.plans.pipeline import run_pipeline
 from pii_redactor_spark.session import ship_package
@@ -580,7 +581,35 @@ def q_corpus_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_corpus_roundtrip")
+# html synthesis runs in a pandas UDF, but its output is md5/template-
+# reproducible, so the roundtrip check IS oracle-gated on scalars:
+# n_matched asserts byte-identical extraction per url (north rule
+# invariant) and sum_html_bytes pins the synthesized payload size
+# (fixed 151-byte template + url bytes + entity-escaped text bytes).
+_WRAP_HTML_FIXED_BYTES = 151  # len(wrap_html('', '')) — pinned in test_corpus
+
+
+@register(
+    "q_corpus_roundtrip",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text,
+        'https://' ||
+        CASE WHEN {_FOLD8_SQL.format(salt='host:')} % 2 = 0
+             THEN 'bighost.example'
+             ELSE 'site' || lpad(CAST({_FOLD8_SQL.format(salt='host:')} % 20 AS VARCHAR), 2, '0') || '.example'
+        END || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM({_WRAP_HTML_FIXED_BYTES} + strlen(url)
+                    + strlen(replace(replace(replace(text, '&', '&amp;'),
+                                             '<', '&lt;'), '>', '&gt;')))
+                AS BIGINT) AS sum_html_bytes
+    FROM corpus
+    """,
+)
 def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_redactor_spark.sources.corpus import (
         extract_text_udf, from_documents)
@@ -588,28 +617,76 @@ def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus
         .withColumn("extracted", extract_text_udf()(F.col("html")))
-        .select(
-            "url", "warc_ts", "lang",
-            F.length("html").alias("html_bytes"),
-            (F.col("extracted") == F.col("text")).alias("match"),
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("extracted") == F.col("text"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_matched"),
+            F.sum(F.length("html")).cast("bigint").alias("sum_html_bytes"),
         )
     )
 
 
 # ---------------------------------------------------------------------------
-# Full pipeline (langid + perplexity + scrub kernels) — not SQL-expressible;
-# the driver records a rows-only check (SURVEY §7.5).
+# Full pipeline (langid + perplexity + scrub kernels). The kernel outputs
+# themselves have no DuckDB twin, but the flagship query IS hash-gated: it
+# selects the rule-derived decision columns (reproduced relationally from
+# _QUALITY_BASE_SQL) plus ``kernel_ran`` — a column derived from the fused
+# kernel UDF's output (scrubbed_text IS NOT NULL), so Catalyst cannot prune
+# the kernel pass away and the oracle still reproduces its value
+# (text IS NOT NULL, the UDF's null-propagation contract). All columns are
+# scalar (no raw arrays — the driver canonicalizer requires hashable cells);
+# rule reasons ship as a sorted CSV string.
 # ---------------------------------------------------------------------------
-@register("q_pipeline_full")
+_RULE_CHECKS_SQL = [
+    ("too_few_words", "n_words < 5"),
+    ("too_many_words", "n_words > 100000"),
+    ("mean_word_len_out_of_range",
+     "mean_word_len < 2.0 OR mean_word_len > 12.0"),
+    ("symbol_ratio_high", "symbol_word_ratio > 0.1"),
+    ("alpha_ratio_low", "alpha_word_ratio < 0.7"),
+    ("stopword_ratio_low", "stopword_ratio < 0.02"),
+    ("dup_lines_high", "dup_line_ratio > 0.5"),
+    ("repeated_bigram_high", "top_bigram_ratio > 0.25"),
+]
+
+_RULE_REASONS_SQL = (
+    "list_sort(list_filter(["
+    + ", ".join(f"CASE WHEN {cond} THEN '{name}' END"
+                for name, cond in _RULE_CHECKS_SQL)
+    + "], x -> x IS NOT NULL))"
+)
+
+
+@register(
+    "q_pipeline_full",
+    oracle=f"""
+    SELECT 'doc://' || CAST(s.doc_id AS VARCHAR) AS url,
+           s.doc_id, d.lang,
+           (d.text IS NOT NULL) AS kernel_ran,
+           (len({_RULE_REASONS_SQL}) = 0) AS rule_keep,
+           CAST(len({_RULE_REASONS_SQL}) AS INT) AS n_rule_reasons,
+           COALESCE(array_to_string({_RULE_REASONS_SQL}, ','), '')
+             AS rule_reasons_csv
+    FROM ({_QUALITY_BASE_SQL}) s JOIN documents d ON s.doc_id = d.doc_id
+    """,
+)
 def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
         "doc_id", "text", "lang",
     )
     out = run_pipeline(docs, allowed_langs=("en",), max_ppl=50.0)
-    return out.select(
-        "url", "doc_id", "lang", "lang_pred", "ppl", "n_redactions",
-        "keep", "reasons",
+    _, rule_reasons = keep_decision(QualityThresholds())
+    return (
+        out
+        .withColumn("_rr", rule_reasons)
+        .select(
+            "url", "doc_id", "lang",
+            F.col("scrubbed_text").isNotNull().alias("kernel_ran"),
+            (F.size("_rr") == 0).alias("rule_keep"),
+            F.size("_rr").cast("int").alias("n_rule_reasons"),
+            F.array_join(F.array_sort("_rr"), ",").alias("rule_reasons_csv"),
+        )
     )
 
 
