@@ -52,6 +52,21 @@ COUNTRIES = [
     "India", "China", "Japan",
 ]
 
+# Honorifics (ai4privacy TITLE class). Dotted forms first: gazetteer
+# dedup is first-label-wins and a dotted match ("Mr.") is longer, so at
+# equal start the longer span wins overlap resolution anyway.
+TITLES = [
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "Mx.",
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Mx", "Miss", "Sir", "Madam",
+]
+
+# Gender words (ai4privacy SEX class). Case-sensitive variants listed
+# explicitly; boundary guards stop "male" matching inside "female".
+SEX_WORDS = [
+    "male", "female", "Male", "Female", "MALE", "FEMALE",
+    "non-binary", "Non-binary",
+]
+
 # Placeholder toxicity wordlist for the keep/drop decision — deterministic
 # sentinel tokens so tests can inject hits without embedding real slurs in
 # the repo. A production deployment swaps in a curated list (same interface).
@@ -62,11 +77,17 @@ TOXICITY_WORDS = [
 
 
 def global_scrub_gazetteer() -> list[tuple[str, str]]:
-    """(value, label) pairs for the corpus-wide lexical scrub tier."""
+    """(value, label) pairs for the corpus-wide lexical scrub tier.
+
+    Name entries carry the family's first ordinal; the scrub kernel
+    re-numbers per document (GIVENNAME2, LASTNAME2/3) by order of first
+    occurrence (kernels/scrub.py:_assign_name_ordinals)."""
     pairs: list[tuple[str, str]] = []
     pairs += [(n, "GIVENNAME1") for n in GIVEN_NAMES]
     pairs += [(n, "LASTNAME1") for n in SURNAMES]
     pairs += [(c, "CITY") for c in CITIES]
     pairs += [(s, "STATE") for s in US_STATE_CODES]
     pairs += [(c, "COUNTRY") for c in COUNTRIES]
+    pairs += [(t, "TITLE") for t in TITLES]
+    pairs += [(w, "SEX") for w in SEX_WORDS]
     return pairs

@@ -61,8 +61,14 @@ class Span(NamedTuple):
 
 # ---------------------------------------------------------------------------
 # Tier 1: compiled regex patterns for structured PII classes.
-# Order = priority at equal (start, length).
+# Order = priority at equal (start, length). A pattern with a named group
+# ``v`` redacts only that group's span (context words like "born on" stay
+# in the text); patterns without it redact the whole match.
 # ---------------------------------------------------------------------------
+_STREET_BODY = (r"[A-Z][a-z]+(?: [A-Z][a-z]+)? "
+                r"(?:Street|Avenue|Road|Lane|Boulevard|Drive|Grove|Court|"
+                r"Highway)")
+
 REGEX_TIERS: list[tuple[str, re.Pattern]] = [
     ("GEOCOORD", re.compile(r"\[-?\d{1,3}\.\d+,\s*-?\d{1,3}\.\d+\]")),
     ("EMAIL", re.compile(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}")),
@@ -80,8 +86,26 @@ REGEX_TIERS: list[tuple[str, re.Pattern]] = [
     ("TIME", re.compile(
         r"(?<![\w:])\d{1,2}:\d{2}(?::\d{2})?(?:\s?[apAP][mM])?(?![\w:])"
     )),
+    # BOD before DATE: a date in birth context is the more specific class
+    # and wins the equal-span tie (stable sort keeps list order).
+    ("BOD", re.compile(
+        r"(?:[Bb]orn(?:\s+on)?|[Dd]ate\s+of\s+[Bb]irth|DOB|[Bb]irth\s*date)"
+        r"\s*[:\-]?\s*"
+        r"(?P<v>\d{1,2}[/-]\d{1,2}[/-]\d{2,4}"
+        r"|[A-Z][a-z]+ \d{1,2},? \d{4}"
+        r"|\d{4}-\d{2}-\d{2})"
+    )),
     ("DATE", re.compile(
         r"(?<![\w/.-])\d{1,2}[/-]\d{1,2}[/-]\d{2,4}(?![\w/-])"
+    )),
+    # BUILDING before POSTCODE: the house number ahead of a street name
+    # outranks a bare 5-digit interpretation at the same span.
+    ("BUILDING", re.compile(
+        r"(?<![\w-])(?P<v>\d{1,5}[A-Za-z]?)\s+(?=" + _STREET_BODY + r"\b)"
+    )),
+    ("SECADDRESS", re.compile(
+        r"(?<![\w-])(?:Apt\.?|Apartment|Suite|Ste\.?|Unit|Floor|Fl\.?|"
+        r"Room|Rm\.?)\s*#?\s*\d+[A-Za-z]?(?![\w-])"
     )),
     ("POSTCODE", re.compile(r"(?<![\w-])\d{5}(?:-\d{4})?(?![\w-])")),
     # conservative context/format patterns for the document classes
@@ -91,19 +115,20 @@ REGEX_TIERS: list[tuple[str, re.Pattern]] = [
         r"|(?<![\w-])[A-Z]{2}\d{7}(?![\w-])"
     )),
     ("DRIVERLICENSE", re.compile(
-        r"(?<![\w-])(?:[Dd](?:river'?s)?\.?\s*[Ll]icen[cs]e\s*(?:[Nn]o\.?|#)?[:# ]\s*)"
+        r"(?<![\w-])(?:[Dd](?:river(?:'?s)?)?\.?\s*[Ll]icen[cs]e\s*(?:[Nn]o\.?|#)?[:# ]\s*)"
         r"[A-Z0-9]{1,3}[- ]?\d{3,4}(?:[- ]\d{3,4}){0,2}(?![\w-])"
     )),
     ("IDCARD", re.compile(
         r"(?<![\w-])[Ii][Dd](?:\s*[Cc]ard)?\s*(?:[Nn]o\.?|#)?[:# ]\s*[A-Z0-9-]{5,12}(?![\w-])"
     )),
+    ("PASS", re.compile(
+        r"(?:[Pp]assword|[Pp]asswd|[Pp]wd|PASS(?:WORD)?|[Pp]ass)"
+        r"\s*[:=]\s*(?P<v>\S+)"
+    )),
     ("USERNAME", re.compile(
         r"(?<![\w.@])@[A-Za-z0-9_]{3,30}(?![\w@])"
     )),
-    ("STREET", re.compile(
-        r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)? "
-        r"(?:Street|Avenue|Road|Lane|Boulevard|Drive|Grove|Court|Highway)\b"
-    )),
+    ("STREET", re.compile(r"\b" + _STREET_BODY + r"\b")),
 ]
 
 _WORD = re.compile(r"\w", re.UNICODE)
@@ -174,22 +199,40 @@ def _gazetteer_spans(
     return spans
 
 
-# Cheap prerequisite characters per pattern index: a pattern cannot match
-# if its gate char is absent, and `in` is a C memchr — most clean-text
-# documents skip 12 of the 14 scans entirely.
-_REGEX_GATES: list[str | None] = []
+# Cheap prerequisite gates per pattern: a pattern is skipped when its
+# provably-required content is absent (`in` is a C memchr). Gates are
+# derived ONLY from what each regex provably requires — IP-v6 and IDCARD
+# can match digit-free text ('dead:beef::cafe', 'ID No: ABCDEF'), so
+# neither is digit-gated (a digit gate there silently dropped real PII).
+# Each gate is (needs_digit, any_of_substrings | None): run the pattern
+# iff (not needs_digit or text has a digit) and (any substring present).
+_PATTERN_GATES: list[tuple[bool, tuple[str, ...] | None]] = []
 for _label, _pat in REGEX_TIERS:
-    if _label in ("GEOCOORD",):
-        _REGEX_GATES.append("[")
+    _p = _pat.pattern
+    if _label == "GEOCOORD":
+        _PATTERN_GATES.append((True, ("[",)))
     elif _label in ("EMAIL", "USERNAME"):
-        _REGEX_GATES.append("@")
+        _PATTERN_GATES.append((False, ("@",)))
+    elif _label == "IP" and ":" in _p.replace("(?:", ""):
+        _PATTERN_GATES.append((False, (":",)))      # v6: colons, no digit req
+    elif _label == "IP":
+        _PATTERN_GATES.append((True, (".",)))       # v4 dotted-quad
+    elif _label == "TIME":
+        _PATTERN_GATES.append((True, (":",)))
+    elif _label == "IDCARD":
+        _PATTERN_GATES.append((False, ("ID", "Id", "iD", "id")))
+    elif _label == "PASS":
+        _PATTERN_GATES.append((False, ("ass", "wd", "ASS", "WD")))
+    elif _label == "BOD":
+        _PATTERN_GATES.append((True, ("orn", "irth", "OB")))
+    elif _label == "STREET":
+        _PATTERN_GATES.append((False, None))        # no cheap gate
     else:
-        _REGEX_GATES.append(None)  # numeric family, gated by _DIGIT below
+        # SOCIALNUMBER, CREDITCARD, TEL, DATE, BUILDING, SECADDRESS,
+        # POSTCODE, PASSPORT, DRIVERLICENSE all require \d
+        _PATTERN_GATES.append((True, None))
 
 _DIGIT_RE = re.compile(r"\d")
-_NUMERIC_LABELS = {"IP", "SOCIALNUMBER", "CREDITCARD", "TEL", "TIME",
-                   "DATE", "POSTCODE", "PASSPORT", "DRIVERLICENSE",
-                   "IDCARD"}
 
 
 def _regex_spans(text: str) -> list[Span]:
@@ -197,15 +240,18 @@ def _regex_spans(text: str) -> list[Span]:
     has_digit = _DIGIT_RE.search(text) is not None
     # REGEX_TIERS order + the stable sort in _resolve make the earlier
     # pattern win ties at equal (start, length, tier).
-    for (label, pattern), gate in zip(REGEX_TIERS, _REGEX_GATES):
-        if gate is not None and gate not in text:
+    for (label, pattern), (needs_digit, subs) in zip(REGEX_TIERS,
+                                                     _PATTERN_GATES):
+        if needs_digit and not has_digit:
             continue
-        if gate is None and label in _NUMERIC_LABELS and not has_digit:
+        if subs is not None and not any(s in text for s in subs):
             continue
+        grp = "v" if "v" in pattern.groupindex else 0
         for m in pattern.finditer(text):
-            if m.start() == m.end():
+            start, end = m.span(grp)
+            if start == end:
                 continue
-            spans.append(Span(m.start(), m.end(), label, m.group(), 1))
+            spans.append(Span(start, end, label, m.group(grp), 1))
     return spans
 
 
@@ -219,6 +265,33 @@ def _resolve(spans: list[Span]) -> list[Span]:
         if s.start >= cursor:
             out.append(s)
             cursor = s.end
+    return out
+
+
+# ai4privacy numbers name labels per document: the Nth distinct given
+# name is GIVENNAME{N} (N<=2), the Nth distinct surname LASTNAME{N}
+# (N<=3); later distinct names share the last ordinal
+# (reference: redactor.py:14 label vocabulary).
+_ORDINAL_FAMILIES = {"GIVENNAME1": ("GIVENNAME", 2),
+                     "LASTNAME1": ("LASTNAME", 3)}
+
+
+def _assign_name_ordinals(accepted: list[Span]) -> list[Span]:
+    """Re-label GLOBAL-gazetteer name spans (tier 2 only — per-url gold
+    gazetteers already carry exact ordinals and stay byte-identical) by
+    order of first occurrence of each distinct value in the document."""
+    seen: dict[str, dict[str, int]] = {}
+    out: list[Span] = []
+    for s in accepted:
+        fam_max = _ORDINAL_FAMILIES.get(s.label)
+        if s.tier == 2 and fam_max is not None:
+            fam, max_n = fam_max
+            d = seen.setdefault(fam, {})
+            if s.value not in d:
+                d[s.value] = min(len(d) + 1, max_n)
+            out.append(s._replace(label=f"{fam}{d[s.value]}"))
+        else:
+            out.append(s)
     return out
 
 
@@ -243,7 +316,7 @@ def scrub_text(
         spans += _regex_spans(text)
     if global_gazetteer:
         spans += _gazetteer_spans(text, global_gazetteer, tier=2)
-    accepted = _resolve(spans)
+    accepted = _assign_name_ordinals(_resolve(spans))
     if not accepted:
         return text, []
     pieces: list[str] = []

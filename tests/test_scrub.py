@@ -139,7 +139,8 @@ class TestRegexTierUnits:
         ("host 2001:db8::8a2e:370:7334 up", "IP"),
         ("at 7836:3dcf:9edf:692:fd5f:4de5:a9d6:da24 x", "IP"),
         ("meet at 10:20am ok", "TIME"),
-        ("born 29/06/2013 yes", "DATE"),
+        ("updated 29/06/2013 yes", "DATE"),
+        ("born 29/06/2013 yes", "BOD"),
         ("zip 93023-9549 ok", "POSTCODE"),
         ("geo [37.4353, -86.941] there", "GEOCOORD"),
     ])
@@ -175,3 +176,77 @@ class TestRegexTierUnits:
         scrubbed, _ = scrub_text('encoding="UTF-8" sex: F', [("F", "SEX")],
                                  enable_regex=False)
         assert scrubbed == 'encoding="UTF-8" sex: [SEX]'
+
+    def test_digit_free_ip_and_idcard_not_gated(self):
+        # regression (round-2 advice): IP-v6 and IDCARD can match
+        # digit-free text, so neither may sit behind the has-digit gate
+        scrubbed, ents = scrub_text("node dead:beef::cafe replied")
+        assert [e["label"] for e in ents] == ["IP"], scrubbed
+        scrubbed, ents = scrub_text("ID No: ABCDEF on file")
+        assert [e["label"] for e in ents] == ["IDCARD"], scrubbed
+
+
+class TestCorpusModeLabelCoverage:
+    """Corpus mode (regex + global gazetteer, NO per-url gold) must be
+    able to produce every label in the reference taxonomy — the mirror of
+    the reference's coverage test (tests/unit/test_examples.py:86-99),
+    using the vendored fixture label vocabulary as the spec."""
+
+    # one probe text per label; the named label must appear in entities
+    PROBES = {
+        "GIVENNAME1": "Contact Alice today",
+        "GIVENNAME2": "Alice met Bob yesterday",
+        "LASTNAME1": "The Smith family",
+        "LASTNAME2": "Smith and Brown arrived",
+        "LASTNAME3": "Smith, Brown and Davis signed",
+        "TITLE": "Dear Mr. Smith",
+        "SEX": "Patient is a female aged 40",
+        "BOD": "Date of birth: 12/05/1980 confirmed",
+        "PASS": "password: s3cr3t!x",
+        "BUILDING": "Lives at 4420 Maple Street in town",
+        "SECADDRESS": "Apt 4B, 4420 Maple Street",
+        "STREET": "Maple Street corner",
+        "IP": "server at dead:beef::cafe responded",
+        "IDCARD": "ID No: ABCDEF9 on file",
+        "EMAIL": "mail me x@y.com",
+        "TEL": "call 555-123-4567 now",
+        "SOCIALNUMBER": "ssn 123-45-6789",
+        "CREDITCARD": "card 4111 1111 1111 1111",
+        "GEOCOORD": "at [53.1051, -2.62021] now",
+        "TIME": "at 12:30pm sharp",
+        "DATE": "on 12/05/2020 we met",
+        "POSTCODE": "zip 97201 here",
+        "PASSPORT": "Passport No: AB1234567",
+        "DRIVERLICENSE": "Driver license no: A12-345-678",
+        "USERNAME": "ping @cool_user99",
+        "CITY": "flew to Portland",
+        "STATE": "in OR today",
+        "COUNTRY": "from Canada with love",
+    }
+
+    def test_probe_set_covers_fixture_vocabulary(self):
+        vocab = set(fixtures.load_raw()["labels"])
+        assert vocab <= set(self.PROBES), vocab - set(self.PROBES)
+
+    def test_every_label_detectable_in_corpus_mode(self):
+        gaz = global_scrub_gazetteer()
+        for label, text in self.PROBES.items():
+            _, ents = scrub_text(text, (), enable_regex=True,
+                                 global_gazetteer=gaz)
+            got = [e["label"] for e in ents]
+            assert label in got, (label, text, got)
+
+    def test_name_ordinals_stable_on_repeats(self):
+        gaz = global_scrub_gazetteer()
+        scrubbed, ents = scrub_text(
+            "Alice called Bob. Then Alice called Bob again.",
+            (), enable_regex=True, global_gazetteer=gaz)
+        assert scrubbed == ("[GIVENNAME1] called [GIVENNAME2]. "
+                            "Then [GIVENNAME1] called [GIVENNAME2] again.")
+
+    def test_fourth_surname_shares_last_ordinal(self):
+        gaz = global_scrub_gazetteer()
+        _, ents = scrub_text("Smith Brown Davis Johnson",
+                             (), enable_regex=True, global_gazetteer=gaz)
+        assert [e["label"] for e in ents] == [
+            "LASTNAME1", "LASTNAME2", "LASTNAME3", "LASTNAME3"]
