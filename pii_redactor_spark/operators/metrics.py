@@ -123,18 +123,82 @@ def token_f1(gold: Column | str, pred: Column | str) -> Column:
     )
 
 
+_PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+def dspy_token_f1(gold: Column | str, pred: Column | str) -> Column:
+    """SQuAD-style token F1 as used by the reference's feedback line
+    (dspy.evaluate.metrics.f1_score, optimizer.py:10,208): lowercase,
+    strip ASCII punctuation, drop articles (a/an/the), whitespace-split,
+    multiset F1; both-empty token lists score 1."""
+    def toks(c: Column | str) -> Column:
+        t = F.lower(F.trim(F.col(c) if isinstance(c, str) else c))
+        t = F.regexp_replace(t, _PUNCT_CLASS, "")
+        t = F.regexp_replace(t, r"\b(a|an|the)\b", " ")
+        return F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    g, p = toks(gold), toks(pred)
+    common = multiset_intersect_size(g, p).cast("double")
+    precision = F.when(F.size(p) > 0, common / F.size(p)).otherwise(F.lit(0.0))
+    recall = F.when(F.size(g) > 0, common / F.size(g)).otherwise(F.lit(0.0))
+    return (
+        F.when((F.size(g) == 0) | (F.size(p) == 0),
+               ((F.size(g) == 0) & (F.size(p) == 0)).cast("double"))
+        .when((precision + recall) > 0,
+              2 * precision * recall / (precision + recall))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def _mislabel_items(a: Column, b: Column) -> Column:
+    """``Counter(a) - (Counter(a) & Counter(b))`` rendered as the
+    reference's item strings — ``'LBL'`` or ``'LBL (xN)'`` for
+    multiplicity N>1 — in first-occurrence order of ``a`` (Python
+    Counter key order, reference: optimizer.py:184-198). Pass
+    *materialized* label-array columns (nested HOFs re-evaluate unbound
+    subtrees per element)."""
+    def item(lbl: Column) -> Column:
+        ca = F.size(F.filter(a, lambda x: x == lbl))
+        cb = F.size(F.filter(b, lambda x: x == lbl))
+        n = ca - F.least(ca, cb)
+        return F.when(
+            n > 0,
+            F.when(n > 1, F.format_string("%s (x%d)", lbl, n))
+            .otherwise(lbl),
+        )
+    return F.array_compact(F.transform(F.array_distinct(a), item))
+
+
 def build_feedback(df: DataFrame, gold: str = "gold", pred: str = "pred") -> DataFrame:
-    """Severity-tagged feedback string (reference: optimizer.py:142-213,
-    same CRITICAL / Minor / Note framing, assembled with concat_ws —
-    not byte-parity: the reference embeds full expected/got texts)."""
-    total_gold = F.size(extract_labels(F.trim(F.col(gold))))
-    total_pred = F.size(extract_labels(F.trim(F.col(pred))))
+    """Severity-tagged feedback string — full string parity with the
+    reference's ``_build_feedback`` (optimizer.py:142-213): score line,
+    CRITICAL under-detection, Minor with Missing/Unexpected mislabeled
+    item lists, over-redaction Note, the labels-match-text-differs line,
+    the full-text token-F1 line, and the Expected/Got block, joined with
+    single spaces. Expects the ``hybrid_score_columns`` outputs
+    (hybrid_score, detection_recall, classification_acc, num_correct) on
+    ``df``."""
+    gold_c = F.trim(F.col(gold))
+    pred_c = F.trim(F.col(pred))
+    df = (
+        df.withColumn("_gl", extract_labels(F.col(gold)))
+          .withColumn("_pl", extract_labels(F.col(pred)))
+    )
+    total_gold = F.size(F.col("_gl"))
+    total_pred = F.size(F.col("_pl"))
     detected = F.least(total_gold, total_pred)
+    missing = _mislabel_items(F.col("_gl"), F.col("_pl"))
+    unexpected = _mislabel_items(F.col("_pl"), F.col("_gl"))
+    # Python's %.2f rounds half-to-even (0.625 -> "0.62"); Java's
+    # format_string rounds half-up ("0.63") — bround first so every
+    # formatted score is byte-identical to the reference's f-strings.
+    def fmt2(c: Column) -> Column:
+        return F.bround(c, 2)
+
     parts = F.array_compact(F.array(
         F.format_string(
             "Hybrid score=%.2f (detection_recall=%.2f, classification_acc=%.2f).",
-            F.col("hybrid_score"), F.col("detection_recall"),
-            F.col("classification_acc")),
+            fmt2(F.col("hybrid_score")), fmt2(F.col("detection_recall")),
+            fmt2(F.col("classification_acc"))),
         F.when(
             detected < total_gold,
             F.format_string(
@@ -143,16 +207,26 @@ def build_feedback(df: DataFrame, gold: str = "gold", pred: str = "pred") -> Dat
         F.when(
             (detected > 0) & (F.col("num_correct") < detected),
             F.format_string(
-                "Minor: %d/%d detected item(s) have correct labels.",
-                F.col("num_correct"), detected)),
+                "Minor: %d/%d detected item(s) have correct labels. "
+                "Missing labels: %s. Unexpected labels: %s.",
+                F.col("num_correct"), detected,
+                F.array_join(missing, ", "),
+                F.array_join(unexpected, ", "))),
         F.when(
             total_pred > total_gold,
             F.format_string(
                 "Note: Over-redacted by %d item(s) (acceptable).",
                 total_pred - total_gold)),
+        F.when(
+            (F.col("hybrid_score") == 1.0) & (gold_c != pred_c),
+            F.lit("All PII labels match, but surrounding text differs.")),
+        F.format_string("Full-text token F1=%.2f (for reference).",
+                        fmt2(dspy_token_f1(gold, pred))),
+        F.format_string("\nExpected:\n%s\n\nGot:\n%s",
+                        F.col(gold), F.col(pred)),
     ))
     feedback = F.when(
-        (F.col("hybrid_score") == 1.0) & (F.trim(F.col(gold)) == F.trim(F.col(pred))),
+        (F.col("hybrid_score") == 1.0) & (gold_c == pred_c),
         F.lit("Correct. All PII entities detected with correct labels."),
     ).otherwise(F.array_join(parts, " "))
-    return df.withColumn("feedback", feedback)
+    return df.withColumn("feedback", feedback).drop("_gl", "_pl")

@@ -90,6 +90,64 @@ class TestSeverityAndFeedback:
         assert "classification_acc=" in scored[2]["feedback"]
 
 
+class TestFeedbackStringParity:
+    """String-level port of the reference feedback assertions
+    (tests/unit/test_optimizer.py:116-184) plus full-string pins of
+    ``_build_feedback``'s assembly (optimizer.py:142-213)."""
+
+    def test_correct_is_exact_string(self, scored):
+        assert scored[0]["feedback"] == (
+            "Correct. All PII entities detected with correct labels.")
+
+    def test_missing_and_unexpected_label_lists(self, scored):
+        fb = scored[4]["feedback"]  # PASSPORT vs IDCARD
+        assert "Missing labels: PASSPORT" in fb
+        assert "Unexpected labels: IDCARD" in fb
+
+    def test_includes_expected_and_got(self, scored):
+        fb = scored[4]["feedback"]
+        assert "Expected" in fb and "Got" in fb
+
+    def test_includes_text_f1_reference(self, scored):
+        assert "Full-text token F1=" in scored[4]["feedback"]
+
+    def test_labels_match_text_differs_line(self, scored):
+        # over-redaction: hybrid == 1.0 but texts differ
+        fb = scored[3]["feedback"]
+        assert "Note: Over-redacted by 1 item(s) (acceptable)." in fb
+        assert "All PII labels match, but surrounding text differs." in fb
+
+    def test_full_string_minor_case(self, scored):
+        # byte-level assembly parity for the wrong-label case
+        assert scored[4]["feedback"] == (
+            "Hybrid score=0.75 (detection_recall=1.00, "
+            "classification_acc=0.00). "
+            "Minor: 0/1 detected item(s) have correct labels. "
+            "Missing labels: PASSPORT. Unexpected labels: IDCARD. "
+            "Full-text token F1=0.50 (for reference). "
+            "\nExpected:\nID: [PASSPORT]\n\nGot:\nID: [IDCARD]")
+
+    def test_full_string_critical_case(self, scored):
+        # hybrid 0.625 formats as "0.62" (Python round-half-even; the
+        # reference is CPython f-string formatting)
+        assert scored[2]["feedback"] == (
+            "Hybrid score=0.62 (detection_recall=0.50, "
+            "classification_acc=1.00). "
+            "CRITICAL: Missed 1 PII item(s) — only 1/2 redacted. "
+            "Full-text token F1=0.75 (for reference). "
+            "\nExpected:\nCall [GIVENNAME1] at [TEL].\n\n"
+            "Got:\nCall [GIVENNAME1] at 555-1234.")
+
+    def test_multiplicity_suffix_in_label_lists(self, spark):
+        # Counter-subtraction multiplicity renders as "LBL (xN)"
+        df = spark.createDataFrame(
+            [("[TEL] [TEL] [EMAIL]", "[IP] [IP] [EMAIL]")],
+            "gold string, pred string")
+        fb = build_feedback(with_hybrid_score(df)).first()["feedback"]
+        assert "Missing labels: TEL (x2)." in fb
+        assert "Unexpected labels: IP (x2)." in fb
+
+
 class TestExtractLabels:
     def test_extracts_in_order(self, spark):
         # reference: test_optimizer.py:14-24
