@@ -81,6 +81,8 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         _force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        from pii_redactor_spark.operators.cache import release_caches
+        release_caches()  # per-query cache lifecycle (no leak across loop)
     return timings
 
 

@@ -881,6 +881,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.dedup_components(_t(spark, sf_dir, "documents"))
 
 
+@register("q_dedup_components_verified",
+          oracle=_dd.dedup_components_oracle_sql(verify_threshold=0.8))
+def q_dedup_components_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # components over Jaccard-VERIFIED edges — what the corpus rewrite
+    # job actually uses (false-positive band collisions excluded)
+    return _dd.dedup_components(_t(spark, sf_dir, "documents"),
+                                verify_threshold=0.8)
+
+
 @register("q_simhash", oracle=_dd.simhash_oracle_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.simhash(_t(spark, sf_dir, "documents"))

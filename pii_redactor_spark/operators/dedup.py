@@ -195,9 +195,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     join inputs). At cluster scale the same role is played by
     materializing signatures to an Iceberg-style table (tables.py) —
     persist is the single-job analogue."""
+    from pii_redactor_spark.operators.cache import registered_persist
     b = minhash_bands(docs, text_col, id_col)
     if reuse_bands:
-        b = b.persist()
+        b = registered_persist(b)
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -215,13 +216,13 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     pair back to its distinct shingle sets, jaccard = |A∩B| / |A∪B|.
     The candidate set (not the corpus cross product) drives the cost —
     this is the standard verify stage after LSH recall."""
+    from pii_redactor_spark.operators.cache import registered_persist
     pairs = lsh_candidate_pairs(docs, text_col, id_col)
-    shingle_sets = (
+    shingle_sets = registered_persist(  # joined twice (id_a and id_b sides)
         docs
         .withColumn("_words", words_expr(F.col(text_col)))
         .select(F.col(id_col).alias("sid"),
                 F.array_distinct(shingles_expr(F.col("_words"))).alias("sset"))
-        .persist()  # joined twice (id_a side and id_b side)
     )
     return (
         pairs
@@ -240,10 +241,18 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 def dedup_components(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     max_iter: int = 20) -> DataFrame:
+                     max_iter: int = 20,
+                     verify_threshold: float | None = None) -> DataFrame:
     """Connected components over the LSH near-dup graph: every document
     mapped to the min doc id of its duplicate cluster (the canonical
     representative for dedup-keep-one).
+
+    ``verify_threshold`` — when set, components are built over
+    Jaccard-VERIFIED edges (>= threshold) instead of raw band-collision
+    candidates: a false-positive band collision can otherwise merge
+    unrelated documents into one cluster and drop non-duplicates from a
+    rewrite (round-2 advice). The corpus rewrite job always verifies;
+    the raw variant remains for candidate-graph analysis.
 
     Iterative min-label propagation (the standard large-graph CC
     algorithm — GraphFrames does the same under the hood): each round,
@@ -253,7 +262,14 @@ def dedup_components(docs: DataFrame, text_col: str = "text",
     driver-side but each round is one distributed join+groupBy, and
     convergence is checked with a count (no row data collected).
     """
-    edges = lsh_candidate_pairs(docs, text_col, id_col)
+    from pii_redactor_spark.operators.cache import register
+    if verify_threshold is not None:
+        edges = (
+            jaccard_pairs(docs, text_col, id_col, verify_threshold)
+            .filter(F.col("is_dup")).select("id_a", "id_b")
+        )
+    else:
+        edges = lsh_candidate_pairs(docs, text_col, id_col)
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"),
@@ -292,13 +308,21 @@ def dedup_components(docs: DataFrame, text_col: str = "text",
                 break
     finally:
         und.unpersist()
+    if labels.is_cached:
+        register(labels)  # released by the caller via cache.release_caches
     return labels.select(F.col("node").alias(id_col), "component")
 
 
 def dedup_components_oracle_sql(table: str = "documents",
                                 text_col: str = "text",
-                                id_col: str = "doc_id") -> str:
-    pairs = lsh_pairs_oracle_sql(table, text_col, id_col)
+                                id_col: str = "doc_id",
+                                verify_threshold: float | None = None) -> str:
+    if verify_threshold is not None:
+        jp = jaccard_pairs_oracle_sql(table, text_col, id_col,
+                                      verify_threshold)
+        pairs = f"SELECT id_a, id_b FROM ({jp}) WHERE is_dup"
+    else:
+        pairs = lsh_pairs_oracle_sql(table, text_col, id_col)
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
 und AS (

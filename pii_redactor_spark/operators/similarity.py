@@ -331,13 +331,13 @@ def embedding_neardup_pairs(emb: DataFrame,
     the O(n²) candidate space to colliding buckets, exact cosine
     verifies. The dedup-by-embedding path of a training-data pipeline —
     same shape as MinHash-LSH text dedup but in vector space."""
+    from pii_redactor_spark.operators.cache import registered_persist
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    banded = (
+    banded = registered_persist(  # both sides of the self-join
         vecs.select(
             "vec_id", "v",
             F.explode(band_buckets_expr(F.col("v"), planes, bands)).alias("b"))
         .select("vec_id", "v", "b.band_idx", "b.band_bits")
-        .persist()  # both sides of the self-join
     )
     left = banded.select(F.col("vec_id").alias("id_a"),
                          F.col("v").alias("va"), "band_idx", "band_bits")

@@ -24,11 +24,19 @@ from pii_redactor_spark.tables import IcebergishTable, MetricsTable
 
 
 def dedup_corpus(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 verify_threshold: float | None = 0.8) -> DataFrame:
     """Drop near-duplicates, keeping each cluster's min-id representative.
     Broadcast-joins the (small) non-representative id set against the
-    corpus as a left-anti join — the corpus itself never shuffles."""
-    comp = dedup_components(docs, text_col, id_col)
+    corpus as a left-anti join — the corpus itself never shuffles.
+
+    Components are built over Jaccard-VERIFIED edges by default
+    (round-2 advice): raw LSH band collisions include false positives,
+    and an unverified merge would permanently drop non-duplicates from
+    the rewritten corpus. Pass ``verify_threshold=None`` only for
+    candidate-graph analysis."""
+    comp = dedup_components(docs, text_col, id_col,
+                            verify_threshold=verify_threshold)
     dups = (
         comp.filter(F.col("component") != F.col(id_col))
         .select(id_col)
@@ -46,11 +54,15 @@ def run_dedup_job(
     id_col: str = "doc_id",
 ) -> dict:
     """Execute the rewrite + commit + lineage row. Returns a summary."""
+    from pii_redactor_spark.operators.cache import release_caches
     t0 = time.time()
-    n_in = docs.count()
-    kept = dedup_corpus(docs, text_col, id_col)
-    snap = output.append(kept)
-    n_kept = output.read(spark).count()
+    try:
+        n_in = docs.count()
+        kept = dedup_corpus(docs, text_col, id_col)
+        snap = output.append(kept)
+        n_kept = output.read(spark).count()
+    finally:
+        release_caches()  # band/shingle/CC-label persists from the operators
     metrics.log(spark, [{
         "run_id": run_id, "stage": "dedup_rewrite", "bucket": None,
         "n_docs": n_in, "kept": n_kept, "dropped": n_in - n_kept,

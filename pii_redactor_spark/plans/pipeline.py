@@ -51,22 +51,49 @@ KERNEL_RESULT_TYPE = StructType([
 ])
 
 
+class KernelTimers:
+    """Per-kernel cost accounting via Spark accumulators (O25 parity —
+    the engine analogue of the reference's per-call cost breakdown,
+    optimizer.py:300-308). Workers add each batch's langid/perplexity/
+    scrub wall time; the driver reads deltas around an action. Task
+    retries double-count (accumulator semantics) — acceptable for cost
+    observability, documented here."""
+
+    KEYS = ("langid_s", "ppl_s", "scrub_s")
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.acc = {k: sc.accumulator(0.0) for k in self.KEYS}
+
+    def snapshot(self) -> dict:
+        return {k: a.value for k, a in self.acc.items()}
+
+    def delta_since(self, snap: dict | None) -> dict:
+        snap = snap or {k: 0.0 for k in self.KEYS}
+        return {k: round(a.value - snap[k], 6)
+                for k, a in self.acc.items()}
+
+
 def make_fused_kernel_udf(
     per_url_gazetteer: dict[str, list[tuple[str, str]]] | None = None,
     enable_regex: bool = True,
     global_gazetteer: list[tuple[str, str]] | None = None,
+    timers: KernelTimers | None = None,
 ):
     """(url, text) -> struct<lang_pred, lang_conf, ppl, scrubbed_text,
     entities, n_redactions> — one Python pass, one Arrow round-trip."""
     per_url = per_url_gazetteer or {}
     global_gaz = list(global_gazetteer or ())
     regex_on = enable_regex
+    accs = timers.acc if timers is not None else None
 
     @F.pandas_udf(KERNEL_RESULT_TYPE)
     def kernels(
         batches: Iterator[tuple[pd.Series, pd.Series]],
     ) -> Iterator[pd.DataFrame]:
         # heavy imports + model fitting once per worker, not per batch
+        from time import perf_counter
+
         from pii_redactor_spark.kernels.langid import (
             fit_langid, predict_lang_batch)
         from pii_redactor_spark.kernels.perplexity import (
@@ -75,9 +102,12 @@ def make_fused_kernel_udf(
         fit_langid()
         fit_charlm()
         for urls, texts in batches:
+            t0 = perf_counter()
             langs, confs = predict_lang_batch(texts)
+            t1 = perf_counter()
             # score each doc under ITS predicted language's LM
             ppls = perplexity_batch(texts, langs)
+            t2 = perf_counter()
             scrubbed_col: list[str | None] = []
             ents_col: list[list[dict] | None] = []
             n_col: list[int | None] = []
@@ -93,6 +123,11 @@ def make_fused_kernel_udf(
                 scrubbed_col.append(scrubbed)
                 ents_col.append(ents)
                 n_col.append(len(ents))
+            if accs is not None:
+                t3 = perf_counter()
+                accs["langid_s"].add(t1 - t0)
+                accs["ppl_s"].add(t2 - t1)
+                accs["scrub_s"].add(t3 - t2)
             yield pd.DataFrame({
                 "lang_pred": langs, "lang_conf": confs, "ppl": ppls,
                 "scrubbed_text": scrubbed_col, "entities": ents_col,
@@ -112,6 +147,7 @@ def run_pipeline(
     per_url_gazetteer: dict[str, list[tuple[str, str]]] | None = None,
     enable_regex: bool = True,
     global_gazetteer: list[tuple[str, str]] | None = None,
+    timers: KernelTimers | None = None,
 ) -> DataFrame:
     """Full quality pipeline over a pages DataFrame.
 
@@ -120,7 +156,7 @@ def run_pipeline(
     """
     th = thresholds or QualityThresholds()
     fused = make_fused_kernel_udf(per_url_gazetteer, enable_regex,
-                                  global_gazetteer)
+                                  global_gazetteer, timers=timers)
     df = attach_quality_stats(
         pages
         .withColumn("_k", fused(F.col(url_col), F.col(text_col)))

@@ -56,17 +56,26 @@ def scrub_stream(
             batch_df, allowed_langs=("en",), max_ppl=50.0,
         ).select("url", "doc_id", "lang_pred", "ppl", "n_redactions",
                  "keep")
-        n = out.count()
-        if n == 0:
-            return
-        kept = out.filter(F.col("keep")).count()
-        output.append(out)
-        metrics.log(batch_df.sparkSession, [{
-            "run_id": run_id, "stage": f"stream-batch-{batch_id}",
-            "bucket": batch_id, "n_docs": n, "kept": kept,
-            "dropped": n - kept, "scrubbed": n,
-            "elapsed_s": None, "ts": None,
-        }])
+        # persist: the fused kernel pass runs ONCE per micro-batch; the
+        # stats aggregation and the table append both read the cache
+        # (previously count + filter.count + append = 3 kernel passes)
+        out = out.persist()
+        try:
+            n, kept = out.agg(
+                F.count("*"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)),
+            ).first()
+            if not n:
+                return
+            output.append(out)
+            metrics.log(batch_df.sparkSession, [{
+                "run_id": run_id, "stage": f"stream-batch-{batch_id}",
+                "bucket": batch_id, "n_docs": n, "kept": kept,
+                "dropped": n - kept, "scrubbed": n,
+                "elapsed_s": None, "ts": None,
+            }])
+        finally:
+            out.unpersist()
 
     return (
         pages.writeStream

@@ -52,6 +52,11 @@ class Snapshot:
     data_dirs: list[str]          # dirs valid at this snapshot (cumulative)
     partitions: dict[str, list]   # data_dir -> bucket values present
     ts: float
+    # optional lineage record committed ATOMICALLY with the data (Iceberg
+    # snapshot-summary analogue): {"run_id", "stage", "buckets"}. Resume
+    # derives done-ness from this, so a crash between the data commit and
+    # the metrics row can never cause a bucket group to be re-appended.
+    lineage: dict | None = None
 
     def to_json(self) -> dict:
         return {
@@ -61,6 +66,7 @@ class Snapshot:
             "data_dirs": self.data_dirs,
             "partitions": self.partitions,
             "ts": self.ts,
+            "lineage": self.lineage,
         }
 
 
@@ -115,14 +121,25 @@ class IcebergishTable:
         dir_name = f"d-{uuid.uuid4().hex[:12]}"
         out = self.data_root / dir_name
         w = df.write.mode("overwrite")
-        buckets: list = []
         if partition_by is not None:
             w = w.partitionBy(partition_by)
-            buckets = [r[0] for r in df.select(partition_by).distinct().collect()]
         w.parquet(str(out))
+        # partition summary from the WRITTEN directory names (what Iceberg
+        # reads from its manifests) — no extra distinct().collect() job
+        # recomputing the input just to list bucket values
+        buckets: list = []
+        if partition_by is not None:
+            from urllib.parse import unquote
+            for p in out.glob(f"{partition_by}=*"):
+                raw = unquote(p.name.split("=", 1)[1])
+                try:
+                    buckets.append(int(raw))
+                except ValueError:
+                    buckets.append(raw)
         return dir_name, sorted(buckets)
 
-    def append(self, df: DataFrame, partition_by: str | None = None) -> Snapshot:
+    def append(self, df: DataFrame, partition_by: str | None = None,
+               lineage: dict | None = None) -> Snapshot:
         parent = self.snapshot()
         dir_name, buckets = self._write_data_dir(df, partition_by)
         prev_dirs = parent.data_dirs if parent else []
@@ -135,11 +152,13 @@ class IcebergishTable:
             data_dirs=prev_dirs + [dir_name],
             partitions=prev_parts,
             ts=time.time(),
+            lineage=lineage,
         )
         self._commit(snap)
         return snap
 
-    def overwrite(self, df: DataFrame, partition_by: str | None = None) -> Snapshot:
+    def overwrite(self, df: DataFrame, partition_by: str | None = None,
+                  lineage: dict | None = None) -> Snapshot:
         parent = self.snapshot()
         dir_name, buckets = self._write_data_dir(df, partition_by)
         snap = Snapshot(
@@ -149,9 +168,26 @@ class IcebergishTable:
             data_dirs=[dir_name],
             partitions={dir_name: buckets},
             ts=time.time(),
+            lineage=lineage,
         )
         self._commit(snap)
         return snap
+
+    def lineage_done_buckets(self, run_id: str, stage: str) -> list[int]:
+        """Buckets recorded as committed for (run_id, stage) in snapshot
+        lineage — the atomic source of truth for resume (manifest reads
+        only, no Spark job). Only snapshots reachable from CURRENT count:
+        an overwrite starts a new lineage root."""
+        snap = self.snapshot()
+        live: set[str] = set(snap.data_dirs) if snap else set()
+        done: set[int] = set()
+        for s in self.snapshots():
+            committed_dir = s.data_dirs[-1] if s.data_dirs else None
+            if (s.lineage and s.lineage.get("run_id") == run_id
+                    and s.lineage.get("stage") == stage
+                    and committed_dir in live):
+                done.update(s.lineage.get("buckets", ()))
+        return sorted(done)
 
     # -- reads ----------------------------------------------------------------
     def read(self, spark: SparkSession,
@@ -237,21 +273,25 @@ def with_salted_host_key(df: DataFrame, url_col: str = "url",
 
 
 METRICS_COLUMNS = ("run_id", "stage", "bucket", "n_docs", "kept",
-                   "dropped", "scrubbed", "elapsed_s", "ts")
+                   "dropped", "scrubbed", "elapsed_s", "ts",
+                   "langid_s", "ppl_s", "scrub_s")
 
 
 class MetricsTable(IcebergishTable):
     """Append-only lineage + metrics sink (the emulated-Iceberg version of
     the reference's timestamped eval log, reference: evaluator.py:125-161).
-    One row per (run, stage, bucket) commit doubles as the checkpoint
-    record for resume."""
+    One row per (run, stage, bucket) commit; since round 2 the ATOMIC done
+    record lives in the output table's snapshot lineage — these rows are
+    observability (including the per-kernel cost breakdown, the analogue
+    of the reference's student/reflection cost split,
+    optimizer.py:300-308)."""
 
     def log(self, spark: SparkSession, rows: list[dict]) -> None:
         df = spark.createDataFrame(
             [tuple(r.get(c) for c in METRICS_COLUMNS) for r in rows],
             "run_id string, stage string, bucket long, n_docs long, "
             "kept long, dropped long, scrubbed long, elapsed_s double, "
-            "ts double",
+            "ts double, langid_s double, ppl_s double, scrub_s double",
         )
         self.append(df)
 
@@ -288,31 +328,48 @@ def run_resumable(
     buckets_per_commit: int = 2,
     transform=None,
     fail_after_commits: int | None = None,
+    timers=None,
 ) -> int:
-    """Process the corpus bucket-group by bucket-group, committing output
-    + lineage after each group; a restart with the same ``run_id`` skips
-    committed buckets. ``fail_after_commits`` injects a crash for tests.
+    """Process the corpus bucket-group by bucket-group; each group's data
+    AND its lineage record commit in ONE snapshot (atomic manifest flip),
+    so a restart with the same ``run_id`` skips exactly the committed
+    buckets — a crash anywhere between commits can never duplicate rows.
+    Metrics rows (with per-kernel timings when a ``KernelTimers`` is
+    passed) are logged after the data commit, purely for observability.
+    ``fail_after_commits`` injects a crash for tests.
 
     Returns the number of bucket-groups processed in THIS invocation.
     """
     bucketed = with_bucket(pages, key_col, n_buckets)
-    done = metrics.done_buckets(spark, run_id, stage)
+    done = sorted(set(output.lineage_done_buckets(run_id, stage))
+                  | set(metrics.done_buckets(spark, run_id, stage)))
     todo = remaining_buckets(list(range(n_buckets)), done)
     commits = 0
     for i in range(0, len(todo), buckets_per_commit):
         group = todo[i:i + buckets_per_commit]
         t0 = time.time()
+        k0 = timers.snapshot() if timers is not None else None
         part = bucketed.filter(F.col("bucket").isin(group))
         out = transform(part) if transform is not None else part
-        output.append(out, partition_by="bucket")
-        stats = (
-            out.groupBy("bucket").agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept")
-                if "keep" in out.columns else F.lit(None).cast("long").alias("kept"),
-            ).collect()
-        )
+        # persist so the write and the stats aggregation share ONE
+        # kernel execution (previously each action recomputed the group)
+        out = out.persist()
+        try:
+            output.append(out, partition_by="bucket", lineage={
+                "run_id": run_id, "stage": stage, "buckets": group})
+            stats = (
+                out.groupBy("bucket").agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept")
+                    if "keep" in out.columns
+                    else F.lit(None).cast("long").alias("kept"),
+                ).collect()
+            )
+        finally:
+            out.unpersist()
         elapsed = time.time() - t0
+        kernel_s = (timers.delta_since(k0) if timers is not None
+                    else {})
         metrics.log(spark, [
             {
                 "run_id": run_id, "stage": stage, "bucket": r["bucket"],
@@ -320,6 +377,7 @@ def run_resumable(
                 "dropped": (r["n_docs"] - r["kept"]) if r["kept"] is not None else None,
                 "scrubbed": r["n_docs"],
                 "elapsed_s": elapsed, "ts": time.time(),
+                **kernel_s,
             }
             for r in stats
         ])

@@ -66,6 +66,8 @@ def main() -> int:
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    from pii_redactor_spark.operators.cache import release_caches
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -74,6 +76,7 @@ def main() -> int:
             continue
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
+        release_caches()  # operator-internal persists, per-query lifecycle
         scols = sdf.columns
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows")

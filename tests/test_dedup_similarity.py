@@ -121,6 +121,39 @@ def test_dedup_job_rewrites_corpus(spark, tmp_path):
     assert m["stage"] == "dedup_rewrite"
 
 
+def test_verified_components_exclude_false_band_collisions(spark):
+    # verified components only merge pairs whose exact Jaccard clears the
+    # threshold; raw candidate components may include band-collision FPs
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.dedup_components(
+                df, verify_threshold=0.8).collect()}
+    assert comp[0] == comp[1] == 0          # exact dups verify at 1.0
+    assert comp[3] == 3 and comp[4] == 4    # unrelated docs never merge
+
+
+def test_operator_caches_released_in_loop(spark):
+    """VERDICT round 1: band/shingle/CC persists leaked across calls in a
+    long-lived session. The registry releases them all."""
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.operators.similarity import (
+        embedding_neardup_pairs)
+    rows = [(i, f"{BASE} variant {i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    release_caches()  # start clean (other tests may have registered)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        dedup.lsh_candidate_pairs(docs).count()
+        dedup.jaccard_pairs(docs).count()
+        dedup.dedup_components(docs).count()
+        embedding_neardup_pairs(emb.limit(50)).count()
+        release_caches()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

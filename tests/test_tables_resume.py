@@ -127,6 +127,74 @@ def test_host_salting_splits_hot_hosts(spark):
     assert all("example" in k for k in cold_keys)     # cold hosts unsalted
 
 
+def test_crash_between_data_commit_and_metrics_log_no_duplicates(
+        spark, docs, tmp_path):
+    """The round-2 advice crash window: data snapshot committed, process
+    dies BEFORE the metrics row lands. The lineage record rides the data
+    snapshot atomically, so resume must skip the group — previously the
+    group was absent from done_buckets and got re-appended."""
+    out = IcebergishTable(tmp_path / "out")
+    met = MetricsTable(tmp_path / "metrics")
+    bucketed = with_bucket(docs, "url", 8)
+    group = [0, 1]
+    part = bucketed.filter(F.col("bucket").isin(group))
+    # simulate run_resumable's data commit, then "crash" (no metrics.log)
+    out.append(part, partition_by="bucket",
+               lineage={"run_id": "cw", "stage": "scrub",
+                        "buckets": group})
+    assert out.lineage_done_buckets("cw", "scrub") == group
+
+    n = run_resumable(spark, docs, out, met, run_id="cw",
+                      n_buckets=8, buckets_per_commit=2)
+    assert n == 3  # only the 6 remaining buckets, in groups of 2
+    dupes = (out.read(spark).groupBy("url").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+    assert out.read(spark).count() == docs.count()
+
+
+def test_overwrite_resets_lineage_done_buckets(spark, tmp_path):
+    t = IcebergishTable(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0)], "id long, bucket long")
+    t.append(df, partition_by="bucket",
+             lineage={"run_id": "r", "stage": "s", "buckets": [0]})
+    assert t.lineage_done_buckets("r", "s") == [0]
+    t.overwrite(df.withColumn("bucket", F.lit(1)), partition_by="bucket")
+    # the append's data dir is no longer live -> its lineage is void
+    assert t.lineage_done_buckets("r", "s") == []
+
+
+def test_partition_summary_from_written_dirs(spark, tmp_path):
+    t = IcebergishTable(tmp_path / "t")
+    df = spark.createDataFrame([(1, 3), (2, 5), (3, 3)],
+                               "id long, bucket long")
+    snap = t.append(df, partition_by="bucket")
+    (dir_name,) = snap.data_dirs
+    assert snap.partitions[dir_name] == [3, 5]
+
+
+def test_kernel_timers_breakdown_in_metrics(spark, docs, tmp_path):
+    from pii_redactor_spark.plans.pipeline import KernelTimers
+    out = IcebergishTable(tmp_path / "out")
+    met = MetricsTable(tmp_path / "metrics")
+    timers = KernelTimers(spark)
+    run_resumable(
+        spark, docs, out, met, run_id="kt", n_buckets=2,
+        buckets_per_commit=1, timers=timers,
+        transform=lambda df: run_pipeline(df, allowed_langs=("en",),
+                                          max_ppl=50.0, timers=timers)
+        .select("url", "doc_id", "keep", "bucket"))
+    rows = met.read(spark).filter(F.col("run_id") == "kt").collect()
+    assert rows
+    for r in rows:
+        assert r["langid_s"] is not None and r["langid_s"] >= 0.0
+        assert r["ppl_s"] is not None and r["ppl_s"] >= 0.0
+        assert r["scrub_s"] is not None and r["scrub_s"] >= 0.0
+    # the kernels did measurable work overall
+    assert sum(r["langid_s"] + r["ppl_s"] + r["scrub_s"]
+               for r in rows) > 0.0
+
+
 def test_metrics_lineage_rows(spark, docs, tmp_path):
     _, met, _ = _run(spark, docs, tmp_path / "m", "mrun")
     mdf = met.read(spark)
