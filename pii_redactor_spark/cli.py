@@ -52,7 +52,7 @@ def cmd_redact(args) -> int:
 
 
 def cmd_run(args) -> int:
-    from pii_redactor_spark.plans.pipeline import run_pipeline
+    from pii_redactor_spark.plans.pipeline import KernelTimers, run_pipeline
     from pii_redactor_spark.tables import (
         IcebergishTable, MetricsTable, run_resumable)
 
@@ -64,11 +64,19 @@ def cmd_run(args) -> int:
             "url", F.concat(F.lit("doc://"), F.col("doc_id")))
     out = IcebergishTable(args.output)
     met = MetricsTable(args.metrics)
+    timers = KernelTimers(spark)
+    thresholds = None
+    if args.artifacts:
+        from pii_redactor_spark.kernels.artifacts import (
+            load_artifacts, load_thresholds)
+        load_artifacts(args.artifacts)
+        thresholds = load_thresholds(args.artifacts)
     commits = run_resumable(
         spark, pages, out, met, run_id=args.run_id,
-        n_buckets=args.n_buckets,
+        n_buckets=args.n_buckets, timers=timers,
         transform=lambda df: run_pipeline(
-            df, allowed_langs=("en",), max_ppl=50.0)
+            df, thresholds=thresholds, allowed_langs=("en",),
+            max_ppl=50.0, timers=timers)
         .select("url", "doc_id", "lang_pred", "ppl", "n_redactions",
                 "keep", "bucket"),
     )
@@ -79,12 +87,30 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Fit thresholds + kernel artifacts on a validation slice — the
+    deterministic analogue of the reference's --optimize
+    (reference: main.py:66-75)."""
+    from pii_redactor_spark.plans.fit import fit_job
+
+    spark = get_spark(app_name="fit")
+    ship_package(spark)
+    docs = spark.read.parquet(args.input)
+    summary = fit_job(spark, docs, args.artifacts,
+                      val_limit=args.val_limit)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     from pii_redactor_spark.fixtures import golden_df, per_url_gazetteer
     from pii_redactor_spark.plans.evaluate import evaluate
 
     spark = get_spark(app_name="evaluate")
     ship_package(spark)
+    if args.artifacts:
+        from pii_redactor_spark.kernels.artifacts import load_artifacts
+        load_artifacts(args.artifacts)  # preload fitted kernel tables
     gold = golden_df(spark).select("url", "text", "redacted_text_gold")
     _, summary = evaluate(
         spark, gold, per_url_gazetteer=per_url_gazetteer(),
@@ -118,13 +144,23 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--metrics", required=True)
     g.add_argument("--run-id", default="run")
     g.add_argument("--n-buckets", type=int, default=8)
+    g.add_argument("--artifacts", default=None,
+                   help="load fitted kernel tables + thresholds")
     g.set_defaults(fn=cmd_run)
+
+    f = sub.add_parser("fit")
+    f.add_argument("--input", required=True)
+    f.add_argument("--artifacts", required=True)
+    f.add_argument("--val-limit", type=int, default=None)
+    f.set_defaults(fn=cmd_fit)
 
     e = sub.add_parser("evaluate")
     e.add_argument("--offset", type=int, default=0)
     e.add_argument("--limit", type=int, default=None)
     e.add_argument("--randomize", action="store_true")
     e.add_argument("--seed", type=int, default=42)
+    e.add_argument("--artifacts", default=None,
+                   help="preload fitted kernel tables")
     e.set_defaults(fn=cmd_evaluate)
 
     s = sub.add_parser("scaling")

@@ -50,6 +50,28 @@ def save_artifacts(path: str | Path) -> dict:
     return manifest
 
 
+THRESHOLDS = "thresholds.json"
+
+
+def save_thresholds(path: str | Path, th) -> None:
+    """Persist fitted QualityThresholds next to the kernel tables (the
+    analogue of the reference's optimized-model JSON)."""
+    from dataclasses import asdict
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    d = asdict(th)
+    d["toxicity_words"] = list(d.get("toxicity_words") or ())
+    (out / THRESHOLDS).write_text(json.dumps(d, indent=1))
+
+
+def load_thresholds(path: str | Path):
+    """Load fitted QualityThresholds; FileNotFoundError if absent."""
+    from pii_redactor_spark.functions.rules import QualityThresholds
+    d = json.loads((Path(path) / THRESHOLDS).read_text())
+    d["toxicity_words"] = tuple(d.get("toxicity_words") or ())
+    return QualityThresholds(**d)
+
+
 def load_artifacts(path: str | Path) -> dict:
     """Load fitted tables from ``path`` into the kernel caches (wins over
     refitting). Returns the manifest. Raises FileNotFoundError if the

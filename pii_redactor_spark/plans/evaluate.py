@@ -33,7 +33,7 @@ def slice_devset(
     offset: int = 0,
     limit: int | None = None,
     randomize: bool = False,
-    seed: int = 42,
+    seed: int | None = 42,
     exclude_first: int = 0,
 ) -> DataFrame:
     """Reference slicing semantics over a url-ordered devset.
@@ -42,7 +42,10 @@ def slice_devset(
     (evaluator.py:50-53). Randomized: CPython-exact seeded sample of
     positions >= exclude_first, sorted ascending (evaluator.py:37-43) —
     positions are materialized driver-side with the same RNG and pushed
-    down as a broadcast semi-join on row_number.
+    down as a broadcast semi-join on row_number. ``seed=None`` mirrors
+    the reference's unseeded fallback when EVALUATE_SEED is unset
+    (evaluator.py:40-41): a fresh ``random.Random()`` — non-reproducible
+    by design, the sample differs per invocation.
     """
     rn = F.row_number().over(Window.orderBy("url")) - 1  # 0-based position
     pos = gold.withColumn("_pos", rn)
@@ -50,7 +53,8 @@ def slice_devset(
         n = gold.count()
         pool = range(exclude_first, n)
         k = min(limit if limit is not None else n, len(pool))
-        picks = sorted(random.Random(seed).sample(pool, k))
+        rng = random.Random(seed) if seed is not None else random.Random()
+        picks = sorted(rng.sample(pool, k))
         out = pos.filter(F.col("_pos").isin(picks))
     else:
         out = pos.filter(F.col("_pos") >= offset)
@@ -113,6 +117,16 @@ def evaluate(
         "token_f1": round(100.0 * agg["f1"], 2),
         "n_examples": agg["n"],
         "n_correct": agg["n_correct"],
+        # run-config header — the analogue of the reference's eval log
+        # leading with the prompt/config used (evaluator.py:125-140)
+        "config": {
+            "run_id": run_id,
+            "enable_regex": enable_regex,
+            "gazetteer": "per-url" if per_url_gazetteer else "none",
+            **{k: slice_kwargs.get(k) for k in
+               ("offset", "limit", "randomize", "seed", "exclude_first")
+               if k in slice_kwargs},
+        },
     }
     if metrics_table is not None:
         metrics_table.log(spark, [{

@@ -41,6 +41,39 @@ def test_evaluate_slice(spark, capsys):
     assert got["n_examples"] == 10 and got["score"] == 100.0
 
 
+def test_fit_then_run_with_artifacts(spark, capsys, tmp_path):
+    art = tmp_path / "artifacts"
+    got = _run(capsys, ["fit",
+                        "--input", "/root/testdata/sf0.001/documents.parquet",
+                        "--artifacts", str(art),
+                        "--val-limit", "200"])
+    assert got["n_val_docs"] == 200
+    assert (art / "manifest.json").exists()
+    assert (art / "thresholds.json").exists()
+    assert got["thresholds"]["min_words"] >= 0
+    # fitted at the 0.5%/99.5% quantiles -> ~99% of the slice passes
+    assert got["val_keep_rate"] >= 0.9
+
+    # the fitted artifacts load and drive a run end-to-end
+    run = _run(capsys, ["run",
+                        "--input", "/root/testdata/sf0.001/documents.parquet",
+                        "--output", str(tmp_path / "out"),
+                        "--metrics", str(tmp_path / "met"),
+                        "--run-id", "fit-run", "--n-buckets", "4",
+                        "--artifacts", str(art)])
+    assert run["total_rows"] == 500
+
+
+def test_thresholds_roundtrip(tmp_path):
+    from pii_redactor_spark.functions.rules import QualityThresholds
+    from pii_redactor_spark.kernels.artifacts import (
+        load_thresholds, save_thresholds)
+    th = QualityThresholds(min_words=7, max_top_bigram_ratio=0.31,
+                           toxicity_words=("a", "b"))
+    save_thresholds(tmp_path, th)
+    assert load_thresholds(tmp_path) == th
+
+
 def test_run_and_resume(spark, capsys, tmp_path):
     args = ["run",
             "--input", "/root/testdata/sf0.001/documents.parquet",

@@ -58,6 +58,16 @@ class TestSliceDevset:
                                  exclude_first=20))
         assert set(got).isdisjoint(all_urls[:20])
 
+    def test_unseeded_randomize_path(self, gold):
+        # reference fallback when EVALUATE_SEED is unset
+        # (evaluator.py:40-41): fresh random.Random(), valid sample of
+        # the requested size, still sorted by position
+        all_urls = _urls(gold)
+        got = _urls(slice_devset(gold, limit=10, randomize=True,
+                                 seed=None))
+        assert len(got) == 10 and set(got) <= set(all_urls)
+        assert got == sorted(got, key=all_urls.index)
+
 
 class TestEvaluate:
     def test_perfect_score_on_golden(self, spark, gold):
@@ -67,6 +77,11 @@ class TestEvaluate:
         # byte-identical scrub => every example scores 1.0
         assert summary["score"] == 100.0
         assert summary["n_correct"] == 25
+        # run-config header (reference: evaluator log leads with config)
+        cfg = summary["config"]
+        assert cfg["enable_regex"] is False
+        assert cfg["gazetteer"] == "per-url"
+        assert cfg["run_id"] == "evaluate"
         rows = report.collect()
         assert [r["example_no"] for r in
                 sorted(rows, key=lambda r: r["url"])] == list(range(1, 26))

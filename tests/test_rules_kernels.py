@@ -136,3 +136,27 @@ class TestPerplexity:
         ).withColumn("ppl", udf("text"))
         rows = {r["id"]: r["ppl"] for r in df.collect()}
         assert rows["garbled"] > rows["nat"]
+
+
+class TestKernelGoldenValues:
+    """sf0.001 golden pins for the two rows-only contract queries
+    (q_langid, q_worstk_ppl have no DuckDB twin — VERDICT round 1 asked
+    for pytest golden values instead). The kernels are deterministic
+    functions of the embedded seed corpora, so these values are stable
+    across sessions and machines."""
+
+    def test_worstk_ppl_golden(self, spark):
+        from pii_redactor_spark.contract import QUERIES
+        rows = QUERIES["q_worstk_ppl"](spark, "/root/testdata/sf0.001").collect()
+        top5 = [(r["doc_id"], round(r["ppl"], 6)) for r in rows[:5]]
+        assert top5 == [(294, 27.793196), (359, 27.395893),
+                        (33, 27.225471), (436, 26.964209),
+                        (414, 26.819225)]
+
+    def test_langid_distribution_golden(self, spark):
+        from collections import Counter
+
+        from pii_redactor_spark.contract import QUERIES
+        df = QUERIES["q_langid"](spark, "/root/testdata/sf0.001")
+        c = Counter(r["lang_pred"] for r in df.collect())
+        assert dict(c) == {"en": 486, "fr": 8, "es": 6}
