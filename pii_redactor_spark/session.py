@@ -52,6 +52,7 @@ def get_spark(
     app_name: str = "pii_redactor_spark",
     master: str | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's pinned configs.
 
@@ -72,7 +73,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs every task thread in ONE JVM heap; the HOF-heavy
+        # quality rules allocate per-document arrays, and at 8 GB the GC
+        # becomes the scaling bottleneck (measured: rules-stage 2→8-core
+        # efficiency 0.72 at 8 GB vs 0.94 at 24 GB). Real clusters give
+        # each executor its own heap; locally we size the one heap for
+        # the parallelism instead (Xmx is a cap, not a reservation).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # throughput collector for the same reason: this is a batch
+        # engine (no latency SLO) and ParallelGC cut the rules stage's
+        # wall time ~17% at every parallelism vs default G1
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
+        .config(map=dict(extra_confs or {}))
         .getOrCreate()
     )
