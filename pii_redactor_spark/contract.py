@@ -480,11 +480,39 @@ stats AS (
              list_distinct(bigrams),
              b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
         / (len(words) - 1)
-      ELSE 0.0 END AS top_bigram_ratio
+      ELSE 0.0 END AS top_bigram_ratio,
+    CASE WHEN len(trigrams) > 0 THEN
+      CAST(list_max(list_transform(
+             list_distinct(trigrams),
+             b -> len(list_filter(trigrams, x -> x = b)))) AS DOUBLE)
+        / len(trigrams)
+      ELSE 0.0 END AS top_trigram_ratio,
+    CASE WHEN len(quadgrams) > 0 THEN
+      CAST(list_max(list_transform(
+             list_distinct(quadgrams),
+             b -> len(list_filter(quadgrams, x -> x = b)))) AS DOUBLE)
+        / len(quadgrams)
+      ELSE 0.0 END AS top_quadgram_ratio,
+    CASE WHEN len(fivegrams) > 0 THEN
+      1.0 - CAST(len(list_distinct(fivegrams)) AS DOUBLE) / len(fivegrams)
+      ELSE 0.0 END AS dup_5gram_ratio
   FROM (SELECT *,
           list_transform(range(GREATEST(len(words) - 1, 0)),
             i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)])
-          AS bigrams
+          AS bigrams,
+          list_transform(range(GREATEST(len(words) - 2, 0)),
+            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)]
+                 || ' ' || words[CAST(i+3 AS INT)])
+          AS trigrams,
+          list_transform(range(GREATEST(len(words) - 3, 0)),
+            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)]
+                 || ' ' || words[CAST(i+3 AS INT)] || ' ' || words[CAST(i+4 AS INT)])
+          AS quadgrams,
+          list_transform(range(GREATEST(len(words) - 4, 0)),
+            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)]
+                 || ' ' || words[CAST(i+3 AS INT)] || ' ' || words[CAST(i+4 AS INT)]
+                 || ' ' || words[CAST(i+5 AS INT)])
+          AS fivegrams
         FROM base))
 SELECT * FROM stats
 """
@@ -496,7 +524,8 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "n_words", "mean_word_len", "stopword_ratio",
         "symbol_word_ratio", "alpha_word_ratio", "dup_line_ratio",
-        "top_bigram_ratio",
+        "top_bigram_ratio", "top_trigram_ratio", "top_quadgram_ratio",
+        "dup_5gram_ratio",
     )
 
 
@@ -510,7 +539,10 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND alpha_word_ratio >= 0.7
        AND stopword_ratio >= 0.02
        AND dup_line_ratio <= 0.5
-       AND top_bigram_ratio <= 0.25) AS keep,
+       AND top_bigram_ratio <= 0.25
+       AND top_trigram_ratio <= 0.20
+       AND top_quadgram_ratio <= 0.18
+       AND dup_5gram_ratio <= 0.30) AS keep,
       CAST((CASE WHEN n_words < 5 THEN 1 ELSE 0 END)
          + (CASE WHEN n_words > 100000 THEN 1 ELSE 0 END)
          + (CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 1 ELSE 0 END)
@@ -518,7 +550,10 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          + (CASE WHEN alpha_word_ratio < 0.7 THEN 1 ELSE 0 END)
          + (CASE WHEN stopword_ratio < 0.02 THEN 1 ELSE 0 END)
          + (CASE WHEN dup_line_ratio > 0.5 THEN 1 ELSE 0 END)
-         + (CASE WHEN top_bigram_ratio > 0.25 THEN 1 ELSE 0 END) AS INT) AS n_reasons
+         + (CASE WHEN top_bigram_ratio > 0.25 THEN 1 ELSE 0 END)
+         + (CASE WHEN top_trigram_ratio > 0.20 THEN 1 ELSE 0 END)
+         + (CASE WHEN top_quadgram_ratio > 0.18 THEN 1 ELSE 0 END)
+         + (CASE WHEN dup_5gram_ratio > 0.30 THEN 1 ELSE 0 END) AS INT) AS n_reasons
     FROM ({_QUALITY_BASE_SQL})
     """,
 )
@@ -647,6 +682,9 @@ _RULE_CHECKS_SQL = [
     ("stopword_ratio_low", "stopword_ratio < 0.02"),
     ("dup_lines_high", "dup_line_ratio > 0.5"),
     ("repeated_bigram_high", "top_bigram_ratio > 0.25"),
+    ("repeated_trigram_high", "top_trigram_ratio > 0.20"),
+    ("repeated_quadgram_high", "top_quadgram_ratio > 0.18"),
+    ("dup_5gram_high", "dup_5gram_ratio > 0.30"),
 ]
 
 _RULE_REASONS_SQL = (

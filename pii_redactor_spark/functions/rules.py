@@ -37,6 +37,9 @@ class QualityThresholds:
     min_stopword_ratio: float = 0.02     # Gopher: >=2 of a stop list
     max_dup_line_ratio: float = 0.5      # Gopher repetition family
     max_top_bigram_ratio: float = 0.25   # Gopher: top-2-gram fraction
+    max_top_trigram_ratio: float = 0.20  # Gopher: top-3-gram fraction
+    max_top_quadgram_ratio: float = 0.18  # Gopher: top-4-gram fraction
+    max_dup_5gram_ratio: float = 0.30    # Gopher: duplicated 5-grams
     toxicity_words: tuple[str, ...] = field(default=())
 
 
@@ -60,12 +63,28 @@ def bigrams_col(words: Column) -> Column:
     )
 
 
+def ngrams_col(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array for <n words
+    (guarded — F.sequence COUNTS DOWN when stop < start)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(words) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def quality_columns(
     text: Column | str,
     th: QualityThresholds | None = None,
     words: Column | None = None,
     lines: Column | None = None,
     bigrams: Column | None = None,
+    trigrams: Column | None = None,
+    quadgrams: Column | None = None,
+    fivegrams: Column | None = None,
 ) -> dict[str, Column]:
     """All rule-input statistics as named Columns.
 
@@ -81,6 +100,12 @@ def quality_columns(
         lines = lines_col(t)
     if bigrams is None:
         bigrams = bigrams_col(words)
+    if trigrams is None:
+        trigrams = ngrams_col(words, 3)
+    if quadgrams is None:
+        quadgrams = ngrams_col(words, 4)
+    if fivegrams is None:
+        fivegrams = ngrams_col(words, 5)
     n_words = F.size(words)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
@@ -106,6 +131,16 @@ def quality_columns(
         ).cast("double") / n_lines,
         "dup_line_ratio": F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
         "top_bigram_ratio": _top_bigram_ratio(bigrams, n_words),
+        # Gopher's wider repetition family: most-frequent 3-/4-gram
+        # fraction (same sorted run-length trick) and the fraction of
+        # 5-gram occurrences that are duplicates
+        "top_trigram_ratio": _top_run_ratio(trigrams),
+        "top_quadgram_ratio": _top_run_ratio(quadgrams),
+        "dup_5gram_ratio": F.when(
+            F.size(fivegrams) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(fivegrams)).cast("double")
+            / F.size(fivegrams),
+        ).otherwise(F.lit(0.0)),
     }
 
 
@@ -137,6 +172,28 @@ def _top_bigram_ratio(bigrams: Column, n_words: Column) -> Column:
     return F.when(
         n_bi > 0, run.cast("double") / n_bi
     ).otherwise(F.lit(0.0))
+
+
+def _top_run_ratio(ngrams: Column) -> Column:
+    """Most-frequent-element fraction of an n-gram array — the same
+    sorted longest-equal-run aggregate as ``_top_bigram_ratio`` with the
+    array's own length as the denominator. Pass a MATERIALIZED column."""
+    n = F.size(ngrams)
+    run = F.aggregate(
+        F.array_sort(ngrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.when(n > 0, run.cast("double") / n).otherwise(F.lit(0.0))
 
 
 def toxicity_hit(text: Column | str, toxicity_words: list[str]) -> Column:
@@ -172,6 +229,11 @@ def keep_decision(th: QualityThresholds | None = None) -> tuple[Column, Column]:
         ("dup_lines_high", F.col("dup_line_ratio") > th.max_dup_line_ratio),
         ("repeated_bigram_high",
          F.col("top_bigram_ratio") > th.max_top_bigram_ratio),
+        ("repeated_trigram_high",
+         F.col("top_trigram_ratio") > th.max_top_trigram_ratio),
+        ("repeated_quadgram_high",
+         F.col("top_quadgram_ratio") > th.max_top_quadgram_ratio),
+        ("dup_5gram_high", F.col("dup_5gram_ratio") > th.max_dup_5gram_ratio),
     ]
     if th.toxicity_words:
         checks.append(("toxicity", F.col("is_toxic")))
@@ -192,11 +254,19 @@ def attach_quality_stats(df: DataFrame, text_col: str = "text",
         df.withColumn("_words", words_col(t))
           .withColumn("_lines", lines_col(t))
           .withColumn("_bigrams", bigrams_col(F.col("_words")))
+          .withColumn("_trigrams", ngrams_col(F.col("_words"), 3))
+          .withColumn("_quadgrams", ngrams_col(F.col("_words"), 4))
+          .withColumn("_fivegrams", ngrams_col(F.col("_words"), 5))
     )
     stats = quality_columns(t, th, words=F.col("_words"),
                             lines=F.col("_lines"),
-                            bigrams=F.col("_bigrams"))
-    return pre.withColumns(stats).drop("_words", "_lines", "_bigrams")
+                            bigrams=F.col("_bigrams"),
+                            trigrams=F.col("_trigrams"),
+                            quadgrams=F.col("_quadgrams"),
+                            fivegrams=F.col("_fivegrams"))
+    return pre.withColumns(stats).drop(
+        "_words", "_lines", "_bigrams", "_trigrams", "_quadgrams",
+        "_fivegrams")
 
 
 def with_quality(df: DataFrame, text_col: str = "text",

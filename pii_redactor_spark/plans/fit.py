@@ -27,7 +27,8 @@ from pii_redactor_spark.kernels import artifacts as _art
 
 STAT_COLS = ("n_words", "mean_word_len", "symbol_word_ratio",
              "alpha_word_ratio", "stopword_ratio", "dup_line_ratio",
-             "top_bigram_ratio")
+             "top_bigram_ratio", "top_trigram_ratio",
+             "top_quadgram_ratio", "dup_5gram_ratio")
 
 
 def fit_thresholds(docs: DataFrame, text_col: str = "text",
@@ -49,6 +50,9 @@ def fit_thresholds(docs: DataFrame, text_col: str = "text",
         min_stopword_ratio=round(q["stopword_ratio"][0], 4),
         max_dup_line_ratio=round(q["dup_line_ratio"][1], 4),
         max_top_bigram_ratio=round(q["top_bigram_ratio"][1], 4),
+        max_top_trigram_ratio=round(q["top_trigram_ratio"][1], 4),
+        max_top_quadgram_ratio=round(q["top_quadgram_ratio"][1], 4),
+        max_dup_5gram_ratio=round(q["dup_5gram_ratio"][1], 4),
     )
 
 

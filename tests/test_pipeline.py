@@ -74,6 +74,20 @@ def oracle_decision(url: str, text: str) -> tuple[bool, set[str]]:
         bigrams = Counter(zip(words, words[1:]))
         if max(bigrams.values()) / (n - 1) > TH.max_top_bigram_ratio:
             reasons.add("repeated_bigram_high")
+    from collections import Counter as _C
+
+    def _ngrams(k):
+        return [tuple(words[i:i + k]) for i in range(n - k + 1)] \
+            if n >= k else []
+    tri = _C(_ngrams(3))
+    if tri and max(tri.values()) / sum(tri.values()) > TH.max_top_trigram_ratio:
+        reasons.add("repeated_trigram_high")
+    quad = _C(_ngrams(4))
+    if quad and max(quad.values()) / sum(quad.values()) > TH.max_top_quadgram_ratio:
+        reasons.add("repeated_quadgram_high")
+    five = _ngrams(5)
+    if five and 1 - len(set(five)) / len(five) > TH.max_dup_5gram_ratio:
+        reasons.add("dup_5gram_high")
     low = {w.lower() for w in words}
     if any(t in low for t in TH.toxicity_words):
         reasons.add("toxicity")

@@ -76,6 +76,41 @@ class TestQualityRules:
         assert out[1]["top_bigram_ratio"] < 0.25
         assert "repeated_bigram_high" not in out[1]["reasons"]
 
+    def test_repeated_trigram_quadgram_and_dup_5gram(self, spark):
+        from pii_redactor_spark.functions.rules import with_quality
+        rows = [
+            # one trigram repeated back-to-back dominates
+            (0, "click here now " * 15),
+            # the same 6-word phrase (hence its 5-grams) repeated
+            (1, "totally unique filler sentence fragment here " * 10),
+            (2, "the quick brown fox jumps over a lazy dog near the "
+                "river while birds sing softly in distant oak trees"),
+        ]
+        df = with_quality(
+            spark.createDataFrame(rows, "doc_id long, text string"))
+        out = {r["doc_id"]: r for r in df.collect()}
+        assert out[0]["top_trigram_ratio"] > 0.3
+        assert "repeated_trigram_high" in out[0]["reasons"]
+        assert out[1]["dup_5gram_ratio"] > 0.5
+        assert "dup_5gram_high" in out[1]["reasons"]
+        assert out[2]["top_trigram_ratio"] <= 0.20
+        assert out[2]["top_quadgram_ratio"] <= 0.18
+        assert out[2]["dup_5gram_ratio"] == 0.0
+        for r in ("repeated_trigram_high", "repeated_quadgram_high",
+                  "dup_5gram_high"):
+            assert r not in out[2]["reasons"]
+
+    def test_ngrams_short_docs_empty(self, spark):
+        from pii_redactor_spark.functions.rules import ngrams_col, words_col
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [("one two",), ("",), ("a b c d e",)], "text string")
+        out = df.select(
+            F.size(ngrams_col(words_col(F.col("text")), 5)).alias("n5"),
+            F.size(ngrams_col(words_col(F.col("text")), 3)).alias("n3"),
+        ).collect()
+        assert [(r["n5"], r["n3"]) for r in out] == [(0, 0), (0, 0), (1, 3)]
+
     def test_stats_sane(self, quality):
         ok = quality["ok"]
         assert ok["n_words"] == len(NATURAL_EN.split())
