@@ -146,6 +146,44 @@ def dedup_stream(
     )
 
 
+def stream_progress_summary(query) -> dict:
+    """Late-data observability: aggregate the query's recent
+    StreamingQueryProgress into {n_batches, input_rows,
+    rows_dropped_by_watermark, state_rows}. ``numRowsDroppedByWatermark``
+    is Spark's own count of rows that arrived too late for their window
+    (past the watermark) and were excluded from state — the quantity a
+    production pipeline alerts on (late-arrival rate)."""
+    out = {"n_batches": 0, "input_rows": 0,
+           "rows_dropped_by_watermark": 0, "state_rows": 0}
+    for p in query.recentProgress:
+        if isinstance(p, str):
+            import json as _json
+            p = _json.loads(p)
+        out["n_batches"] += 1
+        out["input_rows"] += int(p.get("numInputRows") or 0)
+        for so in (p.get("stateOperators") or []):
+            out["rows_dropped_by_watermark"] += int(
+                so.get("numRowsDroppedByWatermark") or 0)
+            out["state_rows"] = max(out["state_rows"],
+                                    int(so.get("numRowsTotal") or 0))
+    return out
+
+
+def log_stream_progress(spark: SparkSession, metrics: MetricsTable,
+                        query, run_id: str = "stream") -> dict:
+    """Commit the progress summary as a lineage/metrics row (dropped =
+    late rows excluded by the watermark)."""
+    s = stream_progress_summary(query)
+    metrics.log(spark, [{
+        "run_id": run_id, "stage": "stream-progress", "bucket": None,
+        "n_docs": s["input_rows"],
+        "kept": s["input_rows"] - s["rows_dropped_by_watermark"],
+        "dropped": s["rows_dropped_by_watermark"],
+        "scrubbed": None, "elapsed_s": None, "ts": None,
+    }])
+    return s
+
+
 def events_windowed_stream(
     spark: SparkSession,
     source_dir: str,

@@ -100,3 +100,41 @@ def test_events_windowed_stream_matches_batch(spark, tmp_path):
         assert b[k] == v
     # all but the final (un-closed) windows should have been emitted
     assert len(g) >= len(b) - len({r["event_type"] for r in batch.collect()}) * 3
+
+
+def test_watermark_drops_late_rows_and_metrics_record_them(spark, tmp_path):
+    from pii_redactor_spark.streaming.stream import (
+        log_stream_progress, stream_progress_summary)
+    src = str(tmp_path / "late_in")
+    outd = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    met = MetricsTable(tmp_path / "late_met")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    # drop 1: on-time events — advances the (checkpointed) watermark
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(1).write.mode("append").parquet(src)
+    q = events_windowed_stream(spark, src, ckpt, outd, watermark="1 hour")
+    q.awaitTermination(120)
+    emitted_1 = spark.read.parquet(outd).count()
+    assert emitted_1 > 0
+
+    # drop 2: events 100 hours BEFORE the stream's max ts — far past the
+    # watermark, so Spark must exclude them from window state
+    late = (
+        events.orderBy(F.desc("ts")).limit(20)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 100 HOURS"))
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    q = events_windowed_stream(spark, src, ckpt, outd, watermark="1 hour")
+    q.awaitTermination(120)
+
+    s = stream_progress_summary(q)
+    assert s["input_rows"] == 20
+    assert s["rows_dropped_by_watermark"] == 20
+
+    got = log_stream_progress(spark, met, q, run_id="late-run")
+    assert got == s
+    row = met.read(spark).filter(F.col("run_id") == "late-run").first()
+    assert row["dropped"] == 20 and row["n_docs"] == 20
