@@ -84,6 +84,13 @@ def get_spark(
         # engine (no latency SLO) and ParallelGC cut the rules stage's
         # wall time ~17% at every parallelism vs default G1
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # streaming state off-heap: the default HDFS-backed store keeps
+        # all state rows on the JVM heap — at 10^12-key dedup state that
+        # is an executor OOM; RocksDB spills to local disk and is the
+        # production choice for large stateful streams
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
         .config("spark.ui.enabled", "false")
         .config(map=dict(extra_confs or {}))
         .getOrCreate()

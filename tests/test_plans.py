@@ -123,3 +123,34 @@ def test_quality_stats_tokenizes_once(spark, docs):
     # into every statistic (CollapseProject keeps multi-use non-cheap
     # expressions materialized) — 13x measured regression otherwise
     assert opt.count("split(trim(text") == 1
+
+
+def test_ann_ivf_assignment_is_projection_no_window(spark):
+    # round-2 fix: corpus->centroid assignment must be a projection
+    # (array_max argmax over literal centroids), never an Exchange +
+    # vec_id window over corpus x centroid rows
+    from pii_redactor_spark.operators.similarity import ann_ivf
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ann_ivf(emb))
+    # exactly: one Exchange for the final per-query top-k window, one
+    # BroadcastExchange for the probe side — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastExchange") == 1
+    # the only row_number window left is the final top-k (query_id)
+    assert plan.count("Window [row_number()") == 1
+    assert "windowspecdefinition(vec_id" not in plan
+
+
+def test_host_cap_windows_are_salted_two_phase(spark, docs):
+    # round-2 fix: phase-1 window must partition by (host, salt) so no
+    # window partition scales with the hot host; AQE cannot split
+    # window partitions, so this is the only structural bound
+    from pii_redactor_spark.operators.sampling import cap_per_host
+    pages = docs.select(
+        F.concat(F.lit("https://h.example/"), F.col("doc_id")).alias("url"),
+        "doc_id")
+    plan = _plan(cap_per_host(pages))
+    assert plan.count("Window [row_number()") == 2
+    # first (inner) window keyed by host AND salt
+    assert "windowspecdefinition(host" in plan
+    assert "_salt" in plan
