@@ -66,17 +66,21 @@ def cmd_run(args) -> int:
     met = MetricsTable(args.metrics)
     timers = KernelTimers(spark)
     thresholds = None
+    artifacts = None
     if args.artifacts:
         from pii_redactor_spark.kernels.artifacts import (
-            load_artifacts, load_thresholds)
-        load_artifacts(args.artifacts)
+            load_tables, load_thresholds)
+        # load_tables, not load_artifacts: the tables must ship to the
+        # executors through the UDF closure — a driver-side preload
+        # never reaches worker processes
+        artifacts = load_tables(args.artifacts)
         thresholds = load_thresholds(args.artifacts)
     commits = run_resumable(
         spark, pages, out, met, run_id=args.run_id,
         n_buckets=args.n_buckets, timers=timers,
         transform=lambda df: run_pipeline(
             df, thresholds=thresholds, allowed_langs=("en",),
-            max_ppl=50.0, timers=timers)
+            max_ppl=50.0, timers=timers, artifacts=artifacts)
         .select("url", "doc_id", "lang_pred", "ppl", "n_redactions",
                 "keep", "bucket"),
     )

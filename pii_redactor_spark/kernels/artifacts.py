@@ -72,13 +72,16 @@ def load_thresholds(path: str | Path):
     return QualityThresholds(**d)
 
 
-def load_artifacts(path: str | Path) -> dict:
-    """Load fitted tables from ``path`` into the kernel caches (wins over
-    refitting). Returns the manifest. Raises FileNotFoundError if the
-    directory has no manifest."""
+def load_tables(path: str | Path) -> dict:
+    """Read fitted tables from disk WITHOUT touching process caches —
+    the SHIPPABLE form: pass the returned dict to
+    ``run_pipeline(artifacts=...)`` so it is closure-captured into the
+    fused kernel UDF and every EXECUTOR worker preloads the same tables
+    (driver-side ``load_artifacts`` alone never reaches workers).
+    Returns {"langid": (langs, prior, lik), "charlms": {lang: logp},
+    "manifest": ...}. Raises FileNotFoundError if no manifest."""
     out = Path(path)
     manifest = json.loads((out / MANIFEST).read_text())
-
     with np.load(out / "langid.npz", allow_pickle=False) as z:
         langid_tables = (list(map(str, z["langs"])), z["prior"].copy(),
                          z["lik"].copy())
@@ -86,7 +89,16 @@ def load_artifacts(path: str | Path) -> dict:
     for lang in manifest["charlm"]["languages"]:
         with np.load(out / f"charlm_{lang}.npz", allow_pickle=False) as z:
             charlms[lang] = z["logp"].copy()
+    return {"langid": langid_tables, "charlms": charlms,
+            "manifest": manifest}
 
-    _langid.preload(langid_tables)
-    _ppl.preload(charlms)
-    return manifest
+
+def load_artifacts(path: str | Path) -> dict:
+    """Load fitted tables from ``path`` into THIS process's kernel
+    caches (wins over refitting). Driver-side convenience; for
+    distributed runs ship ``load_tables`` output through
+    ``run_pipeline(artifacts=...)``. Returns the manifest."""
+    t = load_tables(path)
+    _langid.preload(t["langid"])
+    _ppl.preload(t["charlms"])
+    return t["manifest"]

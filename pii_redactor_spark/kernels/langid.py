@@ -67,6 +67,16 @@ def preload(tables: tuple[list[str], "np.ndarray", "np.ndarray"]) -> None:
     fit_langid.cache_clear()
 
 
+def clear_preload() -> None:
+    """Drop any installed artifact tables (no-op when none): reused
+    Python workers outlive jobs, so a job that ships artifacts must not
+    leak them into later default-fit jobs."""
+    global _PRELOADED
+    if _PRELOADED is not None:
+        _PRELOADED = None
+        fit_langid.cache_clear()
+
+
 @lru_cache(maxsize=1)
 def fit_langid() -> tuple[list[str], np.ndarray, np.ndarray]:
     """Fit add-one-smoothed NB log-likelihoods from the seed corpora

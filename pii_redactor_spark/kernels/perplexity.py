@@ -80,6 +80,14 @@ def preload(tables: dict[str, "np.ndarray"]) -> None:
     fit_charlm.cache_clear()
 
 
+def clear_preload() -> None:
+    """Drop installed artifact LMs (no-op when none) — see
+    langid.clear_preload for why reused workers must reset."""
+    if _PRELOADED:
+        _PRELOADED.clear()
+        fit_charlm.cache_clear()
+
+
 @lru_cache(maxsize=8)
 def fit_charlm(lang: str = "en") -> np.ndarray:
     """Interpolated log-prob table, shape (A, A, A) float32:

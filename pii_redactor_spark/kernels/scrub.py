@@ -89,6 +89,7 @@ REGEX_TIERS: list[tuple[str, re.Pattern]] = [
     # BOD before DATE: a date in birth context is the more specific class
     # and wins the equal-span tie (stable sort keeps list order).
     ("BOD", re.compile(
+        r"(?<![A-Za-z])"
         r"(?:[Bb]orn(?:\s+on)?|[Dd]ate\s+of\s+[Bb]irth|DOB|[Bb]irth\s*date)"
         r"\s*[:\-]?\s*"
         r"(?P<v>\d{1,2}[/-]\d{1,2}[/-]\d{2,4}"
@@ -122,6 +123,7 @@ REGEX_TIERS: list[tuple[str, re.Pattern]] = [
         r"(?<![\w-])[Ii][Dd](?:\s*[Cc]ard)?\s*(?:[Nn]o\.?|#)?[:# ]\s*[A-Z0-9-]{5,12}(?![\w-])"
     )),
     ("PASS", re.compile(
+        r"(?<![A-Za-z])"
         r"(?:[Pp]assword|[Pp]asswd|[Pp]wd|PASS(?:WORD)?|[Pp]ass)"
         r"\s*[:=]\s*(?P<v>\S+)"
     )),
@@ -207,16 +209,20 @@ def _gazetteer_spans(
 # Each gate is (needs_digit, any_of_substrings | None): run the pattern
 # iff (not needs_digit or text has a digit) and (any substring present).
 _PATTERN_GATES: list[tuple[bool, tuple[str, ...] | None]] = []
+_ip_seen = 0
 for _label, _pat in REGEX_TIERS:
-    _p = _pat.pattern
     if _label == "GEOCOORD":
         _PATTERN_GATES.append((True, ("[",)))
     elif _label in ("EMAIL", "USERNAME"):
         _PATTERN_GATES.append((False, ("@",)))
-    elif _label == "IP" and ":" in _p.replace("(?:", ""):
-        _PATTERN_GATES.append((False, (":",)))      # v6: colons, no digit req
     elif _label == "IP":
-        _PATTERN_GATES.append((True, (".",)))       # v4 dotted-quad
+        # by REGEX_TIERS order: first IP entry is the v6 pattern (colons
+        # required, digits NOT — 'dead::beef'), second is dotted-quad v4
+        # (digits + dots required). Explicit identity, not source
+        # sniffing: a lookbehind edit must not silently flip a gate.
+        _ip_seen += 1
+        _PATTERN_GATES.append(
+            (False, (":",)) if _ip_seen == 1 else (True, (".",)))
     elif _label == "TIME":
         _PATTERN_GATES.append((True, (":",)))
     elif _label == "IDCARD":
@@ -231,6 +237,7 @@ for _label, _pat in REGEX_TIERS:
         # SOCIALNUMBER, CREDITCARD, TEL, DATE, BUILDING, SECADDRESS,
         # POSTCODE, PASSPORT, DRIVERLICENSE all require \d
         _PATTERN_GATES.append((True, None))
+assert _ip_seen == 2, "IP gate ordering assumes exactly v6 then v4"
 
 _DIGIT_RE = re.compile(r"\d")
 

@@ -79,13 +79,22 @@ def make_fused_kernel_udf(
     enable_regex: bool = True,
     global_gazetteer: list[tuple[str, str]] | None = None,
     timers: KernelTimers | None = None,
+    artifacts: dict | None = None,
 ):
     """(url, text) -> struct<lang_pred, lang_conf, ppl, scrubbed_text,
-    entities, n_redactions> — one Python pass, one Arrow round-trip."""
+    entities, n_redactions> — one Python pass, one Arrow round-trip.
+
+    ``artifacts`` — fitted kernel tables from
+    ``kernels.artifacts.load_tables``: closure-captured, so every
+    executor worker preloads THESE tables instead of refitting from the
+    embedded corpora (driver-side load_artifacts alone never reaches
+    workers). When absent, any artifact tables left in a reused worker
+    by a previous job are cleared so default runs stay hermetic."""
     per_url = per_url_gazetteer or {}
     global_gaz = list(global_gazetteer or ())
     regex_on = enable_regex
     accs = timers.acc if timers is not None else None
+    arts = artifacts
 
     @F.pandas_udf(KERNEL_RESULT_TYPE)
     def kernels(
@@ -94,11 +103,19 @@ def make_fused_kernel_udf(
         # heavy imports + model fitting once per worker, not per batch
         from time import perf_counter
 
+        from pii_redactor_spark.kernels import langid as _langid_mod
+        from pii_redactor_spark.kernels import perplexity as _ppl_mod
         from pii_redactor_spark.kernels.langid import (
             fit_langid, predict_lang_batch)
         from pii_redactor_spark.kernels.perplexity import (
             fit_charlm, perplexity_batch)
         from pii_redactor_spark.kernels.scrub import scrub_text
+        if arts is not None:
+            _langid_mod.preload(arts["langid"])
+            _ppl_mod.preload(arts["charlms"])
+        else:
+            _langid_mod.clear_preload()
+            _ppl_mod.clear_preload()
         fit_langid()
         fit_charlm()
         for urls, texts in batches:
@@ -148,15 +165,19 @@ def run_pipeline(
     enable_regex: bool = True,
     global_gazetteer: list[tuple[str, str]] | None = None,
     timers: KernelTimers | None = None,
+    artifacts: dict | None = None,
 ) -> DataFrame:
     """Full quality pipeline over a pages DataFrame.
 
     Output adds: lang_pred, lang_conf, ppl, scrubbed_text, entities,
     n_redactions, all quality-rule stats, keep:boolean, reasons:array.
+    ``artifacts``: fitted kernel tables (artifacts.load_tables) shipped
+    to executors via the UDF closure.
     """
     th = thresholds or QualityThresholds()
     fused = make_fused_kernel_udf(per_url_gazetteer, enable_regex,
-                                  global_gazetteer, timers=timers)
+                                  global_gazetteer, timers=timers,
+                                  artifacts=artifacts)
     df = attach_quality_stats(
         pages
         .withColumn("_k", fused(F.col(url_col), F.col(text_col)))

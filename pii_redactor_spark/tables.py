@@ -130,12 +130,15 @@ class IcebergishTable:
         buckets: list = []
         if partition_by is not None:
             from urllib.parse import unquote
-            for p in out.glob(f"{partition_by}=*"):
-                raw = unquote(p.name.split("=", 1)[1])
-                try:
-                    buckets.append(int(raw))
-                except ValueError:
-                    buckets.append(raw)
+            raws = [unquote(p.name.split("=", 1)[1])
+                    for p in out.glob(f"{partition_by}=*")]
+            # int-coerce only when EVERY value parses (the bucket column
+            # case); a mixed or string-valued partition column keeps its
+            # values as strings — never a mixed-type list (unsortable)
+            try:
+                buckets = [int(r) for r in raws]
+            except ValueError:
+                buckets = raws
         return dir_name, sorted(buckets)
 
     def append(self, df: DataFrame, partition_by: str | None = None,
@@ -205,7 +208,11 @@ class IcebergishTable:
         ]
         out = dfs[0]
         for df in dfs[1:]:
-            out = out.unionByName(df)
+            # allowMissingColumns: a table's schema may widen between
+            # commits (e.g. the metrics table gained per-kernel timing
+            # columns in round 2); older commits read as NULL for the
+            # new columns instead of failing the whole read
+            out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
@@ -368,8 +375,14 @@ def run_resumable(
         finally:
             out.unpersist()
         elapsed = time.time() - t0
-        kernel_s = (timers.delta_since(k0) if timers is not None
-                    else {})
+        # the timer delta covers the WHOLE commit group; apportion it
+        # evenly across the group's bucket rows so summing the metrics
+        # table never double-counts kernel cost
+        kernel_s = {}
+        if timers is not None and stats:
+            delta = timers.delta_since(k0)
+            kernel_s = {k: round(v / len(stats), 6)
+                        for k, v in delta.items()}
         metrics.log(spark, [
             {
                 "run_id": run_id, "stage": stage, "bucket": r["bucket"],

@@ -58,3 +58,34 @@ def test_loaded_tables_are_used(tmp_path):
     load_artifacts(tmp_path / "art")
     langs, prior, lik = langid.fit_langid()
     assert prior[2] > 50  # the doctored prior is live
+
+
+def test_artifacts_ship_to_executor_workers(spark, tmp_path):
+    """Round-2 review finding: a driver-side load_artifacts never
+    reaches executor Python workers (they refit from seed corpora).
+    run_pipeline(artifacts=...) must closure-ship the tables so worker
+    predictions come from THE SHIPPED tables — proven by shipping a
+    single-language table and asserting every doc predicts it."""
+    from pii_redactor_spark.kernels.artifacts import load_tables
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+
+    save_artifacts(tmp_path / "art")
+    t = load_tables(tmp_path / "art")
+    langs, prior, lik = t["langid"]
+    i = langs.index("fr")
+    shipped = {"langid": (["fr"], prior[i:i + 1], lik[i:i + 1]),
+               "charlms": t["charlms"]}
+
+    docs = spark.createDataFrame(
+        [("u://1", "the quick brown fox jumps over the lazy dog today"),
+         ("u://2", "completely ordinary english words in a plain row")],
+        "url string, text string")
+    out = run_pipeline(docs, artifacts=shipped, allowed_langs=("fr",),
+                       max_ppl=None)
+    rows = out.collect()
+    assert all(r["lang_pred"] == "fr" for r in rows)
+
+    # hermetic reset: a following default-fit run in the SAME reused
+    # workers must NOT see the shipped single-language table
+    out2 = run_pipeline(docs, allowed_langs=("en",), max_ppl=None)
+    assert all(r["lang_pred"] == "en" for r in out2.collect())

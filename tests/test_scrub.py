@@ -177,6 +177,17 @@ class TestRegexTierUnits:
                                  enable_regex=False)
         assert scrubbed == 'encoding="UTF-8" sex: [SEX]'
 
+    def test_pass_and_bod_context_words_need_left_boundary(self):
+        # review finding: '[Pp]ass'/'[Bb]orn' matched inside ordinary
+        # words ('compass:', 'stubborn'), corrupting clean text
+        for text in ("compass: north of here", "the bypass = closed now",
+                     "surpass: all records"):
+            scrubbed, ents = scrub_text(text)
+            assert scrubbed == text, (text, scrubbed)
+            assert ents == []
+        scrubbed, ents = scrub_text("stubborn 12/25/1990 mule")
+        assert [e["label"] for e in ents] == ["DATE"], scrubbed
+
     def test_digit_free_ip_and_idcard_not_gated(self):
         # regression (round-2 advice): IP-v6 and IDCARD can match
         # digit-free text, so neither may sit behind the has-digit gate

@@ -164,6 +164,30 @@ def test_overwrite_resets_lineage_done_buckets(spark, tmp_path):
     assert t.lineage_done_buckets("r", "s") == []
 
 
+def test_read_survives_schema_widening_across_commits(spark, tmp_path):
+    # review finding: widening a table's schema between commits (e.g.
+    # the metrics table gaining timing columns) broke read() — the
+    # union across commit dirs must tolerate missing columns as NULL
+    t = IcebergishTable(tmp_path / "t")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b", 0.5)],
+                                   "id long, v string, w double"))
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert rows[1]["w"] is None and rows[2]["w"] == 0.5
+
+
+def test_string_partition_values_keep_type(spark, tmp_path):
+    # review finding: mixed int/str coercion of partition dir names made
+    # the summary unsortable; numeric-looking strings must not flip type
+    # when any sibling value is non-numeric
+    t = IcebergishTable(tmp_path / "t")
+    df = spark.createDataFrame([(1, "12"), (2, "en")],
+                               "id long, part string")
+    snap = t.append(df, partition_by="part")
+    (d,) = snap.data_dirs
+    assert snap.partitions[d] == ["12", "en"]
+
+
 def test_partition_summary_from_written_dirs(spark, tmp_path):
     t = IcebergishTable(tmp_path / "t")
     df = spark.createDataFrame([(1, 3), (2, 5), (3, 3)],
