@@ -52,6 +52,7 @@ HEADLINE = [
     "q_ann_bruteforce",
     "q_ann_ivf",
     "q_ann_lsh",
+    "q_text_embed",
     "q_worstk_ppl",
     "q_pipeline_full",
 ]

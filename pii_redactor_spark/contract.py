@@ -1097,6 +1097,14 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_lsh(_t(spark, sf_dir, "embeddings"), multiprobe=True)
 
 
+@register("q_text_embed", oracle=_sim.text_embed_oracle_sql())
+def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text -> dense embedding (signed-hash BoW projection), pinned via
+    # scalar invariants (norm / argmax bucket / probe dot) — the bridge
+    # from raw documents to the ANN + embedding-near-dup operators
+    return _sim.text_embedding_summary(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "q_token_count",
     oracle=r"""

@@ -417,6 +417,147 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Text → embedding (hashed signed bag-of-words random projection).
+# Bridges raw documents to the vector operators above: a deterministic,
+# engine-reproducible stand-in for a neural sentence encoder with the
+# same Spark plumbing (at production scale the pandas-UDF encoder slots
+# in here; everything downstream — ANN, near-dup — is unchanged).
+# ---------------------------------------------------------------------------
+EMBED_DIM = 64
+
+
+def _word_sig(w: Column, dim: int) -> Column:
+    """struct<bucket:int, sign:double> for one word: bucket from an
+    md5-fold (first 8 hex chars), sign ±1 from hex digit 9 parity —
+    both reproducible in DuckDB via the strpos fold."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("eb:"), w)), 1, 8),
+               16, 10).cast("bigint")
+    d9 = F.conv(F.substring(F.md5(F.concat(F.lit("eb:"), w)), 9, 1),
+                16, 10).cast("bigint")
+    return F.struct(
+        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+        F.when(F.pmod(d9, F.lit(2)) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0)).alias("sign"),
+    )
+
+
+def text_embeddings(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    dim: int = EMBED_DIM) -> DataFrame:
+    """(id, emb: array<double>[dim]) — L2-normalized signed-hash BoW
+    projection. Projection-only: materialize per-word (bucket, sign)
+    once (nested HOFs re-evaluate unbound subtrees per element), fold
+    into a dense dim-vector, normalize. Zero shuffle; all counts are
+    small integers in doubles, so every engine sums them exactly."""
+    from pii_redactor_spark.functions.rules import words_col
+    t = F.col(text_col)
+    raw = F.aggregate(
+        F.col("_ws"),
+        F.expr(f"array_repeat(0.0D, {dim})"),
+        lambda acc, s: F.transform(
+            acc, lambda v, i: v + F.when(s["bucket"] == i, s["sign"])
+            .otherwise(F.lit(0.0))),
+    )
+    norm = F.sqrt(F.aggregate(
+        F.col("_raw"), F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        docs
+        .withColumn("_words", words_col(t))
+        .withColumn("_ws", F.transform(F.col("_words"),
+                                       lambda w: _word_sig(w, dim)))
+        .withColumn("_raw", raw)
+        .withColumn("_norm", norm)
+        .select(
+            id_col,
+            F.when(F.col("_norm") > 0,
+                   F.transform(F.col("_raw"), lambda x: x / F.col("_norm")))
+            .otherwise(F.col("_raw")).alias("emb"),
+            F.col("_norm").alias("emb_norm"),
+        )
+    )
+
+
+def text_embedding_summary(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           dim: int = EMBED_DIM) -> DataFrame:
+    """Contract-safe scalar view of the embedding (the driver's
+    canonicalizer cannot hash raw array cells): pre-normalization L2
+    norm, 1-based argmax bucket, and the dot product with a fixed
+    md5-derived ±1 probe vector — three values that pin the whole
+    vector construction."""
+    probe = F.expr("array({})".format(", ".join(
+        f"{1.0 if int(hashlib.md5(f'pr:{i}'.encode()).hexdigest()[0], 16) % 2 == 0 else -1.0}D"
+        for i in range(dim))))
+    emb = text_embeddings(docs, text_col, id_col, dim)
+    return (
+        emb
+        .withColumn("_probe_dot", _dot(F.col("emb"), probe))
+        .select(
+            id_col,
+            F.round("emb_norm", 6).alias("emb_norm"),
+            F.expr("array_position(emb, array_max(emb))")
+            .cast("int").alias("emb_argmax"),
+            # +0.0 canonicalizes IEEE -0.0 (a sum can round to the
+            # negative zero on one engine and positive on the other)
+            (F.round("_probe_dot", 6) + F.lit(0.0)).alias("probe_dot"),
+        )
+    )
+
+
+_FOLD8_W_SQL = (
+    "list_sum(list_transform(range(8), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('eb:' || {w}), "
+    "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT)))"
+)
+
+
+def text_embed_oracle_sql(table: str = "documents",
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          dim: int = EMBED_DIM) -> str:
+    from pii_redactor_spark.operators.dedup import _WORDS_SQL
+    words = _WORDS_SQL.format(t=text_col)
+    fold = _FOLD8_W_SQL.format(w="w")
+    sign = ("CASE WHEN (strpos('0123456789abcdef', "
+            "substr(md5('eb:' || w), 9, 1)) - 1) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END")
+    probe = ", ".join(
+        f"{1.0 if int(hashlib.md5(f'pr:{i}'.encode()).hexdigest()[0], 16) % 2 == 0 else -1.0}"
+        for i in range(dim))
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         list_transform({words},
+           w -> struct_pack(bucket := CAST({fold} % {dim} AS INT),
+                            sign := {sign})) AS ws
+  FROM {table}),
+vecs AS (
+  SELECT {id_col},
+    list_transform(range({dim}), i ->
+      COALESCE(list_sum(list_transform(ws,
+        s -> CASE WHEN s.bucket = CAST(i AS INT) THEN s.sign
+             ELSE 0.0 END)), 0.0)) AS raw
+  FROM base),
+normed AS (
+  SELECT {id_col}, raw,
+         sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+  FROM vecs),
+emb AS (
+  SELECT {id_col}, nrm,
+         CASE WHEN nrm > 0 THEN list_transform(raw, x -> x / nrm)
+              ELSE raw END AS e
+  FROM normed)
+SELECT {id_col},
+       round(nrm, 6) AS emb_norm,
+       CAST(list_position(e, list_max(e)) AS INT) AS emb_argmax,
+       round(list_sum(list_transform(list_zip(e, [{probe}]),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) + 0.0
+         AS probe_dot
+FROM emb
+"""
+
+
 def _band_rows_sql(vec: str, planes: int = ANN_PLANES,
                    bands: int = ANN_BANDS, dim: int = EMB_DIM) -> str:
     """`(band_idx, band_bits)` VALUES rows for a LATERAL explode."""

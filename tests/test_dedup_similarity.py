@@ -203,3 +203,30 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     mp_recall = len(exact & mp) / len(exact)
     assert mp_recall > recall
     assert mp_recall >= 0.95, f"multiprobe recall: {mp_recall}"
+
+
+def test_text_embeddings_unit_norm_and_dedup_bridge(spark):
+    """text -> embedding bridge: unit-norm vectors, identical texts map
+    to identical vectors, and the embedding-near-dup operator finds
+    planted text duplicates end-to-end from raw documents."""
+    import numpy as np
+
+    from pii_redactor_spark.operators.similarity import (
+        embedding_neardup_pairs, text_embeddings)
+
+    rows = [(0, BASE), (1, BASE), (2, OTHER), (3, NEAR)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = text_embeddings(docs)
+    got = {r["doc_id"]: r for r in emb.collect()}
+    for r in got.values():
+        if r["emb_norm"] > 0:
+            assert abs(np.linalg.norm(np.array(r["emb"])) - 1.0) < 1e-9
+    assert got[0]["emb"] == got[1]["emb"]          # identical text
+    assert got[0]["emb"] != got[2]["emb"]          # different text
+
+    vecs = emb.select(F.col("doc_id").alias("vec_id"),
+                      F.col("emb").alias("embedding"))
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in embedding_neardup_pairs(vecs, threshold=0.9).collect()}
+    assert pairs.get((0, 1)) == 1.0                # exact dup found
+    assert (0, 2) not in pairs and (1, 2) not in pairs
