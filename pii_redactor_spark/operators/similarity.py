@@ -427,14 +427,13 @@ FROM ranked WHERE rnk <= {k}
 EMBED_DIM = 64
 
 
-def _word_sig(w: Column, dim: int) -> Column:
-    """struct<bucket:int, sign:double> for one word: bucket from an
-    md5-fold (first 8 hex chars), sign ±1 from hex digit 9 parity —
-    both reproducible in DuckDB via the strpos fold."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit("eb:"), w)), 1, 8),
-               16, 10).cast("bigint")
-    d9 = F.conv(F.substring(F.md5(F.concat(F.lit("eb:"), w)), 9, 1),
-                16, 10).cast("bigint")
+def _sig_from_md5(m: Column, dim: int) -> Column:
+    """struct<bucket:int, sign:double> from a word's md5 hex digest:
+    bucket from the first-8-hex-chars fold, sign ±1 from digit 9 parity
+    — both reproducible in DuckDB via the strpos fold. Takes the DIGEST
+    (materialized once per word) so the hash isn't computed twice."""
+    h = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint")
+    d9 = F.conv(F.substring(m, 9, 1), 16, 10).cast("bigint")
     return F.struct(
         F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
         F.when(F.pmod(d9, F.lit(2)) == 0, F.lit(1.0))
@@ -464,8 +463,11 @@ def text_embeddings(docs: DataFrame, text_col: str = "text",
     return (
         docs
         .withColumn("_words", words_col(t))
-        .withColumn("_ws", F.transform(F.col("_words"),
-                                       lambda w: _word_sig(w, dim)))
+        .withColumn("_md5", F.transform(
+            F.col("_words"),
+            lambda w: F.md5(F.concat(F.lit("eb:"), w))))
+        .withColumn("_ws", F.transform(F.col("_md5"),
+                                       lambda m: _sig_from_md5(m, dim)))
         .withColumn("_raw", raw)
         .withColumn("_norm", norm)
         .select(
