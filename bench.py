@@ -188,18 +188,32 @@ def run_scaling(sf_dir: str, pairs=((2, 8), (8, 32)),
     def eff(times: dict[int, float], lo: int, hi: int) -> float:
         return (times[lo] / times[hi]) / (hi / lo)
 
-    best_t = {c: min(t[c] for t in rep_times) for c in levels}
+    # Headline efficiency is the MEDIAN rep (round-2 advice: max-of-reps
+    # was the most favorable framing and could come from a rep whose
+    # absolute times aren't the reported ones). Per-level times come from
+    # the same median-eff rep for internal consistency; per_rep below
+    # carries the full data including the best/worst spread.
+    import statistics
+
+    def median_rep(lo: int, hi: int) -> dict[int, float]:
+        ranked = sorted(rep_times, key=lambda t: eff(t, lo, hi))
+        return ranked[(len(ranked) - 1) // 2]
+
+    lo0, hi0 = pairs[0]
+    headline_rep = median_rep(lo0, hi0)
     results = {
-        c: {"sec": round(best_t[c], 3),
-            "docs_per_sec": round(n_docs / best_t[c], 1)}
+        c: {"sec": round(headline_rep[c], 3),
+            "docs_per_sec": round(n_docs / headline_rep[c], 1)}
         for c in levels
     }
     effs = {
-        f"{lo}->{hi}": round(max(eff(t, lo, hi) for t in rep_times), 3)
+        f"{lo}->{hi}": round(
+            statistics.median(eff(t, lo, hi) for t in rep_times), 3)
         for lo, hi in pairs
     }
     return {"n_docs": n_docs, "results": results,
             "scaling_efficiency": effs,
+            "headline_rep_policy": "median-eff rep; see per_rep for spread",
             "per_rep": [
                 {"times_sec": {str(c): round(t[c], 3) for c in levels},
                  "eff": {f"{lo}->{hi}": round(eff(t, lo, hi), 3)

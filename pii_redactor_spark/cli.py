@@ -112,9 +112,11 @@ def cmd_evaluate(args) -> int:
 
     spark = get_spark(app_name="evaluate")
     ship_package(spark)
-    if args.artifacts:
-        from pii_redactor_spark.kernels.artifacts import load_artifacts
-        load_artifacts(args.artifacts)  # preload fitted kernel tables
+    # NB: no --artifacts flag here (round-2 advice): the evaluate path is
+    # scrub-only (make_scrub_udf), so fitted langid/charlm tables have no
+    # consumer — and a driver-side preload would never reach executor
+    # workers anyway. If evaluate ever grows a kernel dependency, thread
+    # the tables through the UDF closure as cmd_run does.
     gold = golden_df(spark).select("url", "text", "redacted_text_gold")
     _, summary = evaluate(
         spark, gold, per_url_gazetteer=per_url_gazetteer(),
@@ -163,8 +165,6 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--limit", type=int, default=None)
     e.add_argument("--randomize", action="store_true")
     e.add_argument("--seed", type=int, default=42)
-    e.add_argument("--artifacts", default=None,
-                   help="preload fitted kernel tables")
     e.set_defaults(fn=cmd_evaluate)
 
     s = sub.add_parser("scaling")

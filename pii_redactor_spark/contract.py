@@ -1035,7 +1035,8 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
          .alias("doc_id"),
     )
-    return cap_per_host(corpus, max_per_host=25).select(
+    return cap_per_host(corpus, max_per_host=25,
+                        tiebreak_col="doc_id").select(
         "doc_id", "url", "host")
 
 
@@ -1043,7 +1044,8 @@ from pii_redactor_spark.operators.sampling import (  # noqa: E402
     cap_per_host_oracle_sql as _cap_sql,
 )
 
-ORACLE_SQL["q_host_cap"] = _cap_sql(_CORPUS_URLS_SQL, max_per_host=25)
+ORACLE_SQL["q_host_cap"] = _cap_sql(_CORPUS_URLS_SQL, max_per_host=25,
+                                    tiebreak_col="doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -130,7 +130,10 @@ def dspy_token_f1(gold: Column | str, pred: Column | str) -> Column:
     """SQuAD-style token F1 as used by the reference's feedback line
     (dspy.evaluate.metrics.f1_score, optimizer.py:10,208): lowercase,
     strip ASCII punctuation, drop articles (a/an/the), whitespace-split,
-    multiset F1; both-empty token lists score 1."""
+    multiset F1. Both-empty token lists score 0 — dspy's ``_f1_score``
+    only logs a warning for that case and falls through to
+    ``num_same == 0 -> 0``, so 0 (not 1) is the byte-parity behavior
+    (round-2 advice); with zero overlap F1 is 0 either way."""
     def toks(c: Column | str) -> Column:
         t = F.lower(F.trim(F.col(c) if isinstance(c, str) else c))
         t = F.regexp_replace(t, _PUNCT_CLASS, "")
@@ -140,11 +143,10 @@ def dspy_token_f1(gold: Column | str, pred: Column | str) -> Column:
     common = multiset_intersect_size(g, p).cast("double")
     precision = F.when(F.size(p) > 0, common / F.size(p)).otherwise(F.lit(0.0))
     recall = F.when(F.size(g) > 0, common / F.size(g)).otherwise(F.lit(0.0))
+    # common > 0 implies both sizes > 0, so precision + recall > 0
     return (
-        F.when((F.size(g) == 0) | (F.size(p) == 0),
-               ((F.size(g) == 0) & (F.size(p) == 0)).cast("double"))
-        .when((precision + recall) > 0,
-              2 * precision * recall / (precision + recall))
+        F.when(common > 0,
+               2 * precision * recall / (precision + recall))
         .otherwise(F.lit(0.0))
     )
 

@@ -48,19 +48,27 @@ def priority_expr(url: Column, seed: int) -> Column:
 
 def cap_per_host(df: DataFrame, url_col: str = "url",
                  max_per_host: int = 100, seed: int = 42,
-                 salt_k: int = CAP_SALT_K) -> DataFrame:
+                 salt_k: int = CAP_SALT_K,
+                 tiebreak_col: str | None = None) -> DataFrame:
     """Keep at most ``max_per_host`` docs per host (deterministic).
 
     Two-phase: per-(host, salt) pre-cap bounds every window partition,
     then the per-host window ranks only the <= salt_k * max_per_host
     survivors. Selection is identical to a single per-host window
-    ordered by (priority, url) — (priority, url) is a total order, and
-    each of the global top-``max_per_host`` rows of a host is within the
-    top ``max_per_host`` of its own salt bucket, so phase 1 never drops
-    a winner."""
+    ordered by (priority, url[, tiebreak]) PROVIDED that ordering is a
+    total order — the phase-1/phase-2 equivalence proof needs it (each
+    global top-``max_per_host`` row of a host is within the top
+    ``max_per_host`` of its own salt bucket, so phase 1 never drops a
+    winner; with ties, row_number tie-breaking is physical-order
+    dependent and the two plans may keep different physical rows).
+    Pass ``tiebreak_col`` (e.g. a unique doc id) whenever ``url_col``
+    can repeat within a host (round-2 advice); with unique urls the
+    default ordering is already total."""
     host = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
-    w1 = Window.partitionBy("host", "_salt").orderBy("priority", url_col)
-    w2 = Window.partitionBy("host").orderBy("priority", url_col)
+    order = ["priority", url_col] + (
+        [tiebreak_col] if tiebreak_col is not None else [])
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
     return (
         df
         .withColumn("host", host)
@@ -75,13 +83,17 @@ def cap_per_host(df: DataFrame, url_col: str = "url",
 
 
 def cap_per_host_oracle_sql(urls_cte: str, max_per_host: int = 100,
-                            seed: int = 42) -> str:
-    """DuckDB twin over a CTE producing (doc_id, url)."""
+                            seed: int = 42,
+                            tiebreak_col: str | None = None) -> str:
+    """DuckDB twin over a CTE producing (doc_id, url) — single-window
+    formulation; ``tiebreak_col`` mirrors the Spark side's total-order
+    tie-breaker."""
     fold = (
         "list_sum(list_transform(range(8), i -> "
         f"CAST(strpos('0123456789abcdef', substr(md5('{seed}:' || url), "
         "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT)))"
     )
+    tb = f", {tiebreak_col}" if tiebreak_col is not None else ""
     return f"""
 WITH urls AS ({urls_cte}),
 ranked AS (
@@ -89,7 +101,7 @@ ranked AS (
          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
          ROW_NUMBER() OVER (
            PARTITION BY lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
-           ORDER BY {fold}, url) AS host_rank
+           ORDER BY {fold}, url{tb}) AS host_rank
   FROM urls)
 SELECT doc_id, url, host FROM ranked WHERE host_rank <= {max_per_host}
 """

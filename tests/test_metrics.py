@@ -172,6 +172,17 @@ class TestTokenF1:
         df = spark.createDataFrame([("a b", "a c")], "g string, p string")
         assert df.select(token_f1("g", "p").alias("f1")).first()["f1"] == pytest.approx(0.5)
 
+    def test_dspy_f1_both_empty_after_normalization_is_zero(self, spark):
+        # pure-article/punctuation text normalizes to EMPTY token lists;
+        # dspy's _f1_score only warns there and falls through to
+        # num_same == 0 -> 0.0 (round-2 advice: parity is 0, not 1)
+        from pii_redactor_spark.operators.metrics import dspy_token_f1
+        df = spark.createDataFrame([("the. a!", "an, the;"), ("", "")],
+                                   "g string, p string")
+        vals = [r["f1"] for r in
+                df.select(dspy_token_f1("g", "p").alias("f1")).collect()]
+        assert vals == [0.0, 0.0]
+
 
 class TestEndToEndGoldenScore:
     def test_scrub_output_scores_one_on_every_fixture(self, spark):
