@@ -765,14 +765,14 @@ SPLIT_TRAIN_SIZE = 300
     """,
 )
 def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-    rn = F.row_number().over(Window.orderBy("doc_id"))
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang",
-                F.when(rn <= SPLIT_TRAIN_SIZE, F.lit("train"))
-                 .otherwise(F.lit("val")).alias("part"))
-    )
+    # round-3 rewrite: "first n in key order" needs only the n-th
+    # smallest key (TakeOrdered threshold), not a global row_number — the
+    # round-2 plan was Exchange SinglePartition + full sort in ONE task.
+    # Output identical (doc_id unique); main plan has ZERO shuffles.
+    from pii_redactor_spark.operators.ranking import split_by_rank
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_by_rank(docs, "doc_id", SPLIT_TRAIN_SIZE,
+                         labels=("train", "val"), label_name="part")
 
 
 # ---------------------------------------------------------------------------
@@ -819,12 +819,16 @@ def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("lang").orderBy("doc_id")
+    # round-3 rewrite: a Window.partitionBy(lang) puts the biggest
+    # language (~half a web corpus) in ONE task; the two-phase ranked
+    # form bounds every window partition by ~corpus/num_buckets via
+    # literal range boundaries + broadcast per-(bucket, lang) offsets.
+    from pii_redactor_spark.operators.ranking import global_row_number
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang",
-                F.row_number().over(w).cast("int").alias("rn"))
+        global_row_number(docs, "doc_id", partition_cols=("lang",),
+                          rn_name="rn")
+        .select("doc_id", "lang", F.col("rn").cast("int").alias("rn"))
     )
 
 

