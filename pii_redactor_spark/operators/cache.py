@@ -34,6 +34,29 @@ def register(df: DataFrame) -> DataFrame:
     return df
 
 
+class _LocalCheckpointHandle:
+    """Release handle for a ``localCheckpoint(eager=True)`` DataFrame.
+
+    ``df.unpersist()`` is a no-op for checkpoints (the storage belongs to
+    the internal LogicalRDD, not the cache manager), so the handle
+    unpersists that RDD through py4j. After release the DataFrame CANNOT
+    be re-executed (checkpointed lineage is truncated by design) — the
+    release_caches contract already requires results to be fully
+    consumed first."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
+def register_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Track an eager localCheckpoint for release via release_caches."""
+    _ACTIVE.append(_LocalCheckpointHandle(df))  # duck-typed .unpersist()
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every registered cache (blocking=False). Returns the
     number of handles released."""

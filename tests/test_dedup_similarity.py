@@ -102,6 +102,32 @@ def test_connected_components_chain(spark):
         assert comp[2] == 2
 
 
+def test_components_long_chain_bounded_plan(spark):
+    """Round-2 verdict item 2: an adversarial long chain must converge
+    with a BOUNDED logical plan. Path-halving makes the rounds
+    O(log diameter); localCheckpoint every 3 rounds truncates lineage so
+    the converged plan never carries more than ~3 rounds of operators
+    (round 2 grew 58 shuffles on a diameter-3 graph already)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.operators.dedup import components_from_edges
+    n = 50
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    labels = components_from_edges(nodes, edges, max_iter=30,
+                                   checkpoint_every=3)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)  # one cluster, min label
+    # lineage bound: <= checkpoint_every rounds of (2 joins + ptr join)
+    # survive in the optimized plan, independent of rounds executed
+    opt = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Join") <= 12, opt.count("Join")
+    release_caches()
+    persistent = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert persistent == 0  # checkpoints freed via the registry handle
+
+
 def test_dedup_job_rewrites_corpus(spark, tmp_path):
     from pii_redactor_spark.plans.dedup_job import run_dedup_job
     from pii_redactor_spark.tables import IcebergishTable, MetricsTable
