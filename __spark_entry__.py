@@ -26,6 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
     fused langid+perplexity+scrub kernel pass (ONE ArrowEvalPython),
     JVM-side quality rules, keep/drop decision with reasons
     (SURVEY.md §3.1, the engine's ``redact(text)`` + quality gate)."""
+    import os
+
     from pii_redactor_spark.plans.pipeline import run_pipeline
 
     ship_package(spark)
@@ -34,8 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
         F.concat(F.lit("fixture://src/"), F.col("doc_id")).alias("url"),
         "doc_id", "text", "lang", "n_chars",
     )
+    # fit->serve hook (reference main.py:22-26 loads the optimized model
+    # at startup when present): honored via $PII_SPARK_ARTIFACTS only —
+    # never a cwd default — so unconfigured driver runs stay hermetic
     out = run_pipeline(pages, allowed_langs=("en",), max_ppl=50.0,
-                       global_gazetteer=global_scrub_gazetteer())
+                       global_gazetteer=global_scrub_gazetteer(),
+                       artifacts_dir=os.environ.get("PII_SPARK_ARTIFACTS"))
     return out.select(
         "url", "doc_id", "lang", "n_chars",
         "lang_pred", F.round("lang_conf", 4).alias("lang_conf"),

@@ -67,14 +67,25 @@ def cmd_run(args) -> int:
     timers = KernelTimers(spark)
     thresholds = None
     artifacts = None
-    if args.artifacts:
-        from pii_redactor_spark.kernels.artifacts import (
-            load_tables, load_thresholds)
+    from pii_redactor_spark.kernels.artifacts import (
+        load_tables, load_thresholds, resolve_artifacts_dir)
+    # fit->serve loop closed by DEFAULT (reference: main.py:22-26 loads
+    # the optimized model at startup whenever the file exists): an
+    # explicit --artifacts wins, else $PII_SPARK_ARTIFACTS, else
+    # ./artifacts when fitted files are present
+    art_dir = resolve_artifacts_dir(args.artifacts)
+    if art_dir:
         # load_tables, not load_artifacts: the tables must ship to the
         # executors through the UDF closure — a driver-side preload
         # never reaches worker processes
-        artifacts = load_tables(args.artifacts)
-        thresholds = load_thresholds(args.artifacts)
+        try:
+            artifacts = load_tables(art_dir)
+        except FileNotFoundError:
+            artifacts = None  # thresholds-only artifact dir
+        try:
+            thresholds = load_thresholds(art_dir)
+        except FileNotFoundError:
+            thresholds = None
     commits = run_resumable(
         spark, pages, out, met, run_id=args.run_id,
         n_buckets=args.n_buckets, timers=timers,
@@ -87,6 +98,7 @@ def cmd_run(args) -> int:
     n = out.read(spark).count()
     print(json.dumps({"run_id": args.run_id, "commits_this_invocation": commits,
                       "total_rows": n,
+                      "artifacts_dir": art_dir,
                       "snapshot": out.current_snapshot_id()}))
     return 0
 
@@ -101,7 +113,8 @@ def cmd_fit(args) -> int:
     ship_package(spark)
     docs = spark.read.parquet(args.input)
     summary = fit_job(spark, docs, args.artifacts,
-                      val_limit=args.val_limit)
+                      val_limit=args.val_limit,
+                      lo=args.lo, hi=args.hi)
     print(json.dumps(summary))
     return 0
 
@@ -158,6 +171,10 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--input", required=True)
     f.add_argument("--artifacts", required=True)
     f.add_argument("--val-limit", type=int, default=None)
+    f.add_argument("--lo", type=float, default=0.005,
+                   help="lower-bound rule quantile (coverage target)")
+    f.add_argument("--hi", type=float, default=0.995,
+                   help="upper-bound rule quantile (coverage target)")
     f.set_defaults(fn=cmd_fit)
 
     e = sub.add_parser("evaluate")

@@ -93,6 +93,28 @@ def load_tables(path: str | Path) -> dict:
             "manifest": manifest}
 
 
+ARTIFACTS_ENV = "PII_SPARK_ARTIFACTS"
+DEFAULT_ARTIFACTS_DIR = "artifacts"
+
+
+def resolve_artifacts_dir(explicit: str | None = None) -> str | None:
+    """Artifact-dir discovery — the engine's mirror of the reference's
+    load-optimized-model-at-startup (reference: main.py:22-26: *always*
+    loads ``optimized_model.json`` when the file exists, no flag
+    needed). Precedence: explicit ``--artifacts`` value, then
+    ``$PII_SPARK_ARTIFACTS``, then ``./artifacts`` — the first candidate
+    that actually holds a thresholds or manifest file. Returns ``None``
+    when nothing is fitted yet (run with built-in defaults)."""
+    import os
+    if explicit:
+        return str(explicit)
+    for cand in (os.environ.get(ARTIFACTS_ENV), DEFAULT_ARTIFACTS_DIR):
+        if cand and ((Path(cand) / THRESHOLDS).exists()
+                     or (Path(cand) / MANIFEST).exists()):
+            return str(cand)
+    return None
+
+
 def load_artifacts(path: str | Path) -> dict:
     """Load fitted tables from ``path`` into THIS process's kernel
     caches (wins over refitting). Driver-side convenience; for

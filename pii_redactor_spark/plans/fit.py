@@ -58,17 +58,19 @@ def fit_thresholds(docs: DataFrame, text_col: str = "text",
 
 def fit_job(spark: SparkSession, docs: DataFrame, artifacts_dir: str,
             text_col: str = "text", val_limit: int | None = None,
-            id_col: str = "doc_id") -> dict:
+            id_col: str = "doc_id", lo: float = 0.005,
+            hi: float = 0.995) -> dict:
     """Fit thresholds on the (deterministic) validation slice, fit the
     kernel tables, and commit everything to ``artifacts_dir``. Returns a
-    summary with the fitted thresholds and keep-rate on the slice."""
+    summary with the fitted thresholds and keep-rate on the slice.
+    ``lo``/``hi`` are the coverage quantiles (CLI ``fit --lo/--hi``)."""
     t0 = time.time()
     val = docs
     if val_limit is not None:
         # deterministic slice: lowest ids (the reference's list-slice
         # split, evaluator.py:37-43, without RNG)
         val = docs.orderBy(id_col).limit(val_limit)
-    th = fit_thresholds(val, text_col)
+    th = fit_thresholds(val, text_col, lo=lo, hi=hi)
     manifest = _art.save_artifacts(artifacts_dir)
     _art.save_thresholds(artifacts_dir, th)
 

@@ -166,14 +166,32 @@ def run_pipeline(
     global_gazetteer: list[tuple[str, str]] | None = None,
     timers: KernelTimers | None = None,
     artifacts: dict | None = None,
+    artifacts_dir: str | None = None,
 ) -> DataFrame:
     """Full quality pipeline over a pages DataFrame.
 
     Output adds: lang_pred, lang_conf, ppl, scrubbed_text, entities,
     n_redactions, all quality-rule stats, keep:boolean, reasons:array.
     ``artifacts``: fitted kernel tables (artifacts.load_tables) shipped
-    to executors via the UDF closure.
+    to executors via the UDF closure. ``artifacts_dir``: convenience —
+    load fitted thresholds + tables from a fit-job output directory
+    (the reference always loads its optimized model at startup when
+    present, main.py:22-26); explicit ``thresholds``/``artifacts``
+    arguments win over the directory.
     """
+    if artifacts_dir is not None:
+        from pii_redactor_spark.kernels.artifacts import (
+            load_tables, load_thresholds)
+        if thresholds is None:
+            try:
+                thresholds = load_thresholds(artifacts_dir)
+            except FileNotFoundError:
+                pass
+        if artifacts is None:
+            try:
+                artifacts = load_tables(artifacts_dir)
+            except FileNotFoundError:
+                pass
     th = thresholds or QualityThresholds()
     fused = make_fused_kernel_udf(per_url_gazetteer, enable_regex,
                                   global_gazetteer, timers=timers,

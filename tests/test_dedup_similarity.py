@@ -65,6 +65,21 @@ def test_lsh_pairs_and_jaccard(corpus):
         assert 0.5 < jac[(0, 2)]["jaccard"] < 1.0
 
 
+def test_simhash_vectorized_matches_expression(spark):
+    # the numpy vertical-popcount path must be bit-identical to the
+    # expression-only reference implementation, including null text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    docs = docs.unionByName(spark.createDataFrame(
+        [(90001, None), (90002, ""), (90003, "one")],
+        "doc_id long, text string"))
+    a = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash(docs, vectorized=True).collect()}
+    b = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash(docs, vectorized=False).collect()}
+    assert a == b
+
+
 def test_simhash_hamming_orders_similarity(corpus):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
     assert sh[0] == sh[1]
