@@ -452,12 +452,43 @@ _STOPWORD_SQL_LIST = (
     "'it','for','not','on','with','he','as','you','do','at']"
 )
 
+# Hashed n-grams (round 3): the Spark side combines per-word 60-bit md5
+# folds with position rotations (functions/rules.py hashed_ngrams_col);
+# the oracle reproduces the exact same integer arithmetic, so the ratio
+# values are bit-identical in both engines.
+_WHASH_FOLD_SQL = (
+    "list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(w), CAST(i+1 AS INT), 1)) - 1 AS BIGINT) "
+    "* CAST(power(16, 14 - i) AS BIGINT)))"
+)
+
+
+def _rot60_sql(h: str, s: int) -> str:
+    if s == 0:
+        return h
+    mask = (1 << s) - 1
+    return f"(({h} >> {s}) | (({h} & {mask}) << {60 - s}))"
+
+
+def _hashed_ngrams_sql(n: int) -> str:
+    terms = [_rot60_sql(f"whashes[CAST(i+{k}+1 AS INT)]", (7 * k) % 60)
+             for k in range(n)]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"xor({expr}, {t})"
+    return (f"CASE WHEN len(whashes) >= {n} THEN "
+            f"list_transform(range(len(whashes) - {n} + 1), i -> {expr}) "
+            f"ELSE CAST([] AS BIGINT[]) END")
+
+
 _QUALITY_BASE_SQL = f"""
 WITH base AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS words,
-         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
-  FROM documents),
+  SELECT doc_id, text, words, lines,
+         list_transform(words, w -> {_WHASH_FOLD_SQL}) AS whashes
+  FROM (SELECT doc_id, text,
+          list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS words,
+          list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+        FROM documents)),
 stats AS (
   SELECT doc_id,
     len(words) AS n_words,
@@ -475,44 +506,40 @@ stats AS (
          THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words)
          ELSE 0.0 END AS alpha_word_ratio,
     1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / GREATEST(len(lines), 1) AS dup_line_ratio,
+    -- the all-bigrams-distinct shortcut mirrors the Spark branch
+    -- structure (functions/rules.py quality_columns) so results stay
+    -- bit-identical even under 60-bit n-gram hash collisions
     CASE WHEN len(words) > 1 THEN
-      CAST(list_max(list_transform(
-             list_distinct(bigrams),
-             b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+      (CASE WHEN len(list_distinct(bigrams)) = len(bigrams) THEN 1.0 ELSE
+        CAST(list_max(list_transform(
+               list_distinct(bigrams),
+               b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE) END)
         / (len(words) - 1)
       ELSE 0.0 END AS top_bigram_ratio,
-    CASE WHEN len(trigrams) > 0 THEN
-      CAST(list_max(list_transform(
-             list_distinct(trigrams),
-             b -> len(list_filter(trigrams, x -> x = b)))) AS DOUBLE)
-        / len(trigrams)
+    CASE WHEN GREATEST(len(words) - 2, 0) > 0 THEN
+      (CASE WHEN len(list_distinct(bigrams)) = len(bigrams) THEN 1.0 ELSE
+        CAST(list_max(list_transform(
+               list_distinct(trigrams),
+               b -> len(list_filter(trigrams, x -> x = b)))) AS DOUBLE) END)
+        / (len(words) - 2)
       ELSE 0.0 END AS top_trigram_ratio,
-    CASE WHEN len(quadgrams) > 0 THEN
-      CAST(list_max(list_transform(
-             list_distinct(quadgrams),
-             b -> len(list_filter(quadgrams, x -> x = b)))) AS DOUBLE)
-        / len(quadgrams)
+    CASE WHEN GREATEST(len(words) - 3, 0) > 0 THEN
+      (CASE WHEN len(list_distinct(bigrams)) = len(bigrams) THEN 1.0 ELSE
+        CAST(list_max(list_transform(
+               list_distinct(quadgrams),
+               b -> len(list_filter(quadgrams, x -> x = b)))) AS DOUBLE) END)
+        / (len(words) - 3)
       ELSE 0.0 END AS top_quadgram_ratio,
-    CASE WHEN len(fivegrams) > 0 THEN
-      1.0 - CAST(len(list_distinct(fivegrams)) AS DOUBLE) / len(fivegrams)
-      ELSE 0.0 END AS dup_5gram_ratio
+    CASE WHEN len(list_distinct(bigrams)) = len(bigrams)
+              OR GREATEST(len(words) - 4, 0) = 0 THEN 0.0 ELSE
+      1.0 - CAST(len(list_distinct(fivegrams)) AS DOUBLE)
+            / (len(words) - 4)
+      END AS dup_5gram_ratio
   FROM (SELECT *,
-          list_transform(range(GREATEST(len(words) - 1, 0)),
-            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)])
-          AS bigrams,
-          list_transform(range(GREATEST(len(words) - 2, 0)),
-            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)]
-                 || ' ' || words[CAST(i+3 AS INT)])
-          AS trigrams,
-          list_transform(range(GREATEST(len(words) - 3, 0)),
-            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)]
-                 || ' ' || words[CAST(i+3 AS INT)] || ' ' || words[CAST(i+4 AS INT)])
-          AS quadgrams,
-          list_transform(range(GREATEST(len(words) - 4, 0)),
-            i -> words[CAST(i+1 AS INT)] || ' ' || words[CAST(i+2 AS INT)]
-                 || ' ' || words[CAST(i+3 AS INT)] || ' ' || words[CAST(i+4 AS INT)]
-                 || ' ' || words[CAST(i+5 AS INT)])
-          AS fivegrams
+          {_hashed_ngrams_sql(2)} AS bigrams,
+          {_hashed_ngrams_sql(3)} AS trigrams,
+          {_hashed_ngrams_sql(4)} AS quadgrams,
+          {_hashed_ngrams_sql(5)} AS fivegrams
         FROM base))
 SELECT * FROM stats
 """

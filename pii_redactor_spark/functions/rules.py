@@ -76,37 +76,123 @@ def ngrams_col(words: Column, n: int) -> Column:
         .otherwise(F.array().cast("array<string>"))
 
 
+# --------------------------------------------------------------------------
+# Hashed n-grams (round-3, verdict item 5): the repetition family only
+# needs EQUALITY of n-grams, never their text — so n-grams are 60-bit
+# integers combined from per-word md5 hashes instead of concatenated
+# strings. ONE md5 pass over the words feeds all four families (the
+# 2/3/4/5-gram arrays are pure bigint arithmetic), and the sort +
+# run-length aggregates compare longs instead of strings. Semantics are
+# identical up to 60-bit hash collisions (P ≈ n²/2⁶¹ per doc — the same
+# trade Gopher-style pipelines make); the DuckDB oracle reproduces the
+# exact arithmetic, so oracle parity is bit-exact regardless.
+# Measured at sf0.1: q_quality_stats 1.86 s -> see BENCH/BASELINE.md.
+# --------------------------------------------------------------------------
+NGRAM_ROT_STEP = 7  # per-position rotation makes the xor order-sensitive
+
+
+def word_hashes_col(words: Column) -> Column:
+    """array<bigint>: first 60 bits of md5(word) per word (the same fold
+    the dedup operators use — operators/dedup.py word_hash60)."""
+    from pii_redactor_spark.operators.dedup import word_hash60
+    return F.transform(words, word_hash60)
+
+
+def _rot60(h: Column, s: int) -> Column:
+    """Rotate a 60-bit value right by ``s`` (0 <= s < 60) staying inside
+    signed-64 range in Spark AND DuckDB (no <<60 overflow: the low
+    ``s`` bits are masked before the left shift)."""
+    if s == 0:
+        return h
+    mask = (1 << s) - 1
+    return F.shiftright(h, s).bitwiseOR(
+        F.shiftleft(h.bitwiseAND(F.lit(mask)), 60 - s))
+
+
+def hashed_ngrams_col(whashes: Column, n: int) -> Column:
+    """array<bigint> of hashed word n-grams: gram_i = XOR over k of
+    rot60(whash[i+k], 7k). Empty array for <n words."""
+    idx = F.sequence(F.lit(0), F.size(whashes) - n)
+
+    def gram(i: Column) -> Column:
+        out = _rot60(F.element_at(whashes, i + 1), 0)
+        for k in range(1, n):
+            out = out.bitwiseXOR(
+                _rot60(F.element_at(whashes, i + k + 1),
+                       (NGRAM_ROT_STEP * k) % 60))
+        return out
+
+    return F.when(F.size(whashes) >= n, F.transform(idx, gram)) \
+        .otherwise(F.array().cast("array<bigint>"))
+
+
 def quality_columns(
     text: Column | str,
     th: QualityThresholds | None = None,
     words: Column | None = None,
     lines: Column | None = None,
+    whashes: Column | None = None,
     bigrams: Column | None = None,
     trigrams: Column | None = None,
     quadgrams: Column | None = None,
     fivegrams: Column | None = None,
+    bigrams_distinct: Column | None = None,
 ) -> dict[str, Column]:
     """All rule-input statistics as named Columns.
 
-    Pass pre-materialized ``words``/``lines`` columns (see
-    ``attach_quality_stats``) so the tokenization subtree is computed once
-    per row instead of once per statistic — at 100 TB the 6-way duplicated
-    split/filter tree is pure wasted CPU (measured 13x on sf0.1).
+    Pass pre-materialized ``words``/``lines``/``whashes``/n-gram columns
+    (see ``attach_quality_stats``) so the tokenization and hashing
+    subtrees are computed once per row instead of once per statistic —
+    at 100 TB the 6-way duplicated split/filter tree is pure wasted CPU
+    (measured 13x on sf0.1). The n-gram arrays are HASHED bigints
+    (``hashed_ngrams_col``), never strings.
     """
     t = F.col(text) if isinstance(text, str) else text
     if words is None:
         words = words_col(t)
     if lines is None:
         lines = lines_col(t)
+    if whashes is None:
+        whashes = word_hashes_col(words)
     if bigrams is None:
-        bigrams = bigrams_col(words)
+        bigrams = hashed_ngrams_col(whashes, 2)
     if trigrams is None:
-        trigrams = ngrams_col(words, 3)
+        trigrams = hashed_ngrams_col(whashes, 3)
     if quadgrams is None:
-        quadgrams = ngrams_col(words, 4)
+        quadgrams = hashed_ngrams_col(whashes, 4)
     if fivegrams is None:
-        fivegrams = ngrams_col(words, 5)
+        fivegrams = hashed_ngrams_col(whashes, 5)
+    # all-bigrams-distinct shortcut (round 3): a duplicate n-gram implies
+    # a duplicate (n-1)-gram (its prefix repeats), so when every bigram
+    # is unique the 3/4/5-gram families are provably repetition-free —
+    # their modal ratio collapses to 1/len and dup ratio to 0 WITHOUT
+    # building, sorting, or distinct-ing those arrays. The higher-order
+    # constructions live inside the CASE's expensive branch only, so
+    # clean documents (the overwhelming majority of a web corpus) never
+    # pay for them; the DuckDB oracle mirrors the same branch structure
+    # so outputs stay bit-identical even under 60-bit hash collisions.
+    # Family sizes are derived from n_words (never F.size(grams)) so an
+    # unmaterialized gram expression is evaluated exactly ONCE, inside
+    # its aggregate. Pass ``bigrams_distinct`` pre-materialized
+    # (attach_quality_stats does) — it gates four statistics.
     n_words = F.size(words)
+    if bigrams_distinct is None:
+        bigrams_distinct = \
+            F.size(F.array_distinct(bigrams)) == F.size(bigrams)
+    all_bi_distinct = bigrams_distinct
+
+    def shortcut_top(n: int, grams: Column) -> Column:
+        sz = F.greatest(n_words - (n - 1), F.lit(0))
+        return F.when(
+            sz > 0,
+            F.when(all_bi_distinct, F.lit(1.0))
+            .otherwise(_modal_run(grams).cast("double")) / sz,
+        ).otherwise(F.lit(0.0))
+
+    sz5 = F.greatest(n_words - 4, F.lit(0))
+    dup5 = F.when(all_bi_distinct | (sz5 == 0), F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(fivegrams)).cast("double") / sz5)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     return {
@@ -130,59 +216,35 @@ def quality_columns(
             lines, F.lit(0), lambda a, l: a + F.length(l)
         ).cast("double") / n_lines,
         "dup_line_ratio": F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
-        "top_bigram_ratio": _top_bigram_ratio(bigrams, n_words),
+        "top_bigram_ratio": F.when(
+            n_words - 1 > 0,
+            F.when(all_bi_distinct, F.lit(1.0))
+            .otherwise(_modal_run(bigrams).cast("double")) / (n_words - 1),
+        ).otherwise(F.lit(0.0)),
         # Gopher's wider repetition family: most-frequent 3-/4-gram
         # fraction (same sorted run-length trick) and the fraction of
-        # 5-gram occurrences that are duplicates
-        "top_trigram_ratio": _top_run_ratio(trigrams),
-        "top_quadgram_ratio": _top_run_ratio(quadgrams),
-        "dup_5gram_ratio": F.when(
-            F.size(fivegrams) > 0,
-            F.lit(1.0) - F.size(F.array_distinct(fivegrams)).cast("double")
-            / F.size(fivegrams),
-        ).otherwise(F.lit(0.0)),
+        # 5-gram occurrences that are duplicates — all gated behind the
+        # all-bigrams-distinct shortcut above
+        "top_trigram_ratio": shortcut_top(3, trigrams),
+        "top_quadgram_ratio": shortcut_top(4, quadgrams),
+        "dup_5gram_ratio": dup5,
     }
 
 
-def _top_bigram_ratio(bigrams: Column, n_words: Column) -> Column:
-    """Fraction of word bigrams occupied by the single most frequent
-    bigram (Gopher's repetition family: high = boilerplate/spam).
-
-    Modal count via sort + longest-equal-run in ONE aggregate pass —
-    O(n log n) instead of the naive O(d*n) distinct-x-filter formulation
-    (which cost 3.4k string comparisons per 60-word doc and tripled the
-    pipeline's corpus-scale runtime). Zero shuffle either way; pass a
-    *materialized* bigrams column (attach_quality_stats does) so nested
-    HOFs don't re-evaluate the construction per element."""
-    n_bi = n_words - 1
-    run = F.aggregate(
-        F.array_sort(bigrams),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
-    return F.when(
-        n_bi > 0, run.cast("double") / n_bi
-    ).otherwise(F.lit(0.0))
-
-
-def _top_run_ratio(ngrams: Column) -> Column:
-    """Most-frequent-element fraction of an n-gram array — the same
-    sorted longest-equal-run aggregate as ``_top_bigram_ratio`` with the
-    array's own length as the denominator. Pass a MATERIALIZED column."""
-    n = F.size(ngrams)
-    run = F.aggregate(
+def _modal_run(ngrams: Column) -> Column:
+    """Count of the most frequent element: sort + longest-equal-run in
+    ONE aggregate pass — O(n log n) instead of the naive O(d*n)
+    distinct-x-filter formulation (which cost 3.4k comparisons per
+    60-word doc and tripled the pipeline's corpus-scale runtime). The
+    arrays are hashed bigints (round 3), so both the sort and the run
+    comparisons are long ops, not string ops. Zero shuffle; pass a
+    *materialized* column (attach_quality_stats does) so nested HOFs
+    don't re-evaluate the construction per element. ``prev`` starts at
+    -1: word hashes are 60-bit non-negative, so -1 never matches."""
+    return F.aggregate(
         F.array_sort(ngrams),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
+        F.struct(F.lit(-1).cast("bigint").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
         lambda acc, x: F.struct(
             x.alias("prev"),
             F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
@@ -193,7 +255,7 @@ def _top_run_ratio(ngrams: Column) -> Column:
         ),
         lambda acc: acc.best,
     )
-    return F.when(n > 0, run.cast("double") / n).otherwise(F.lit(0.0))
+
 
 
 def toxicity_hit(text: Column | str, toxicity_words: list[str]) -> Column:
@@ -253,20 +315,26 @@ def attach_quality_stats(df: DataFrame, text_col: str = "text",
     pre = (
         df.withColumn("_words", words_col(t))
           .withColumn("_lines", lines_col(t))
-          .withColumn("_bigrams", bigrams_col(F.col("_words")))
-          .withColumn("_trigrams", ngrams_col(F.col("_words"), 3))
-          .withColumn("_quadgrams", ngrams_col(F.col("_words"), 4))
-          .withColumn("_fivegrams", ngrams_col(F.col("_words"), 5))
+          .withColumn("_whashes", word_hashes_col(F.col("_words")))
+          .withColumn("_bigrams", hashed_ngrams_col(F.col("_whashes"), 2))
+          # the distinctness flag gates four statistics -> materialize
+          .withColumn("_abd",
+                      F.size(F.array_distinct(F.col("_bigrams")))
+                      == F.size(F.col("_bigrams")))
     )
+    # 3/4/5-gram arrays are intentionally NOT materialized: each is
+    # referenced exactly once inside a CASE branch that only executes
+    # for documents with a repeated bigram (see quality_columns)
     stats = quality_columns(t, th, words=F.col("_words"),
                             lines=F.col("_lines"),
+                            whashes=F.col("_whashes"),
                             bigrams=F.col("_bigrams"),
-                            trigrams=F.col("_trigrams"),
-                            quadgrams=F.col("_quadgrams"),
-                            fivegrams=F.col("_fivegrams"))
+                            trigrams=hashed_ngrams_col(F.col("_whashes"), 3),
+                            quadgrams=hashed_ngrams_col(F.col("_whashes"), 4),
+                            fivegrams=hashed_ngrams_col(F.col("_whashes"), 5),
+                            bigrams_distinct=F.col("_abd"))
     return pre.withColumns(stats).drop(
-        "_words", "_lines", "_bigrams", "_trigrams", "_quadgrams",
-        "_fivegrams")
+        "_words", "_lines", "_whashes", "_bigrams", "_abd")
 
 
 def with_quality(df: DataFrame, text_col: str = "text",
