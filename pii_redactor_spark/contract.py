@@ -755,17 +755,51 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_worstk_ppl")
+# Frozen top-20-worst-perplexity sets per test corpus (round-3 verdict
+# item 7). The perplexity kernel has no DuckDB twin, so this oracle is a
+# GOLDEN REGRESSION PIN, not an independent re-derivation: the (doc_id,
+# n_chars) rows were computed once by the engine (kernel fit from the
+# embedded seed corpora is fully deterministic) and frozen as literals;
+# the corpora are told apart by their n_chars checksum. The ppl VALUES
+# themselves stay out of the hash (golden-pinned at sf0.001 in
+# tests/test_rules_kernels.py TestKernelGoldenValues instead).
+_WORSTK_FROZEN: dict[int, list[tuple[int, int]]] = {
+    153156: [(294, 152), (359, 199), (33, 58), (436, 54), (414, 95),
+             (140, 118), (18, 170), (346, 237), (45, 165), (375, 189),
+             (353, 93), (202, 47), (178, 138), (487, 161), (253, 287),
+             (203, 232), (51, 207), (126, 323), (303, 453), (441, 419)],
+    149174: [(74, 48), (481, 85), (275, 49), (26, 63), (372, 142),
+             (165, 108), (59, 118), (455, 59), (348, 131), (86, 138),
+             (340, 247), (494, 206), (384, 92), (204, 117), (335, 325),
+             (156, 122), (110, 54), (257, 114), (433, 176), (104, 246)],
+    1485576: [(3716, 74), (4278, 97), (879, 93), (145, 125), (1075, 96),
+              (2012, 65), (3436, 62), (2525, 207), (1411, 59), (1775, 58),
+              (2879, 152), (1345, 53), (2466, 55), (4599, 58), (2635, 119),
+              (2279, 184), (41, 134), (3184, 82), (3819, 188), (204, 55)],
+}
+
+_WORSTK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT doc_id, n_chars FROM (VALUES {', '.join(
+        f'({d}, {c})' for d, c in rows)}) AS t(doc_id, n_chars)
+    WHERE (SELECT sum(n_chars) FROM documents) = {chk}"""
+    for chk, rows in _WORSTK_FROZEN.items()
+)
+
+
+@register("q_worstk_ppl", oracle=_WORSTK_ORACLE)
 def q_worstk_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k worst documents by perplexity (SURVEY §2.6 bench query) —
-    # TakeOrderedAndProject over a kernel column; rows-only check.
+    # TakeOrderedAndProject over a kernel column. The kernel column
+    # drives the ordering but stays OUT of the hashed output (no DuckDB
+    # twin); the emitted (doc_id, n_chars) set is gated against the
+    # frozen golden above.
     from pii_redactor_spark.kernels.perplexity import make_perplexity_udf
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.withColumn("ppl", make_perplexity_udf()("text"))
         .orderBy(F.desc("ppl"), F.asc("doc_id"))
         .limit(20)
-        .select("doc_id", "ppl", "n_chars")
+        .select("doc_id", "n_chars")
     )
 
 

@@ -105,3 +105,59 @@ def test_hybrid_metric_bounds(gold, pred):
     assert 0.0 <= hybrid <= 1.0
     if gold == pred:
         assert hybrid == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 verdict item 9: the greedy cursor resolver must equal a
+# brute-force reference resolver on ARBITRARY tier-0/1/2 overlap
+# layouts (the documented cross-tier shadowing edge, ROADMAP limitation
+# 3). The reference semantics: walk the priority-sorted pool (earliest
+# start, then longest, then lowest tier) and accept every span that
+# overlaps NO already-accepted span; the kernel's cursor walk is an
+# O(n) shortcut whose equivalence rests on accepted ends being
+# monotone — exactly what this property exercises.
+# ---------------------------------------------------------------------------
+
+def _brute_force_resolve(spans):
+    pool = sorted(spans, key=lambda s: (s.start, -(s.end - s.start), s.tier))
+    accepted = []
+    for s in pool:
+        if all(s.end <= a.start or s.start >= a.end for a in accepted):
+            accepted.append(s)
+    return accepted
+
+
+# fragments chosen to collide: gazetteer values nested in regex matches
+# (local parts of emails, phone substrings) and in each other
+_FRAGMENTS = ["bob@example.com", "555-123-4567", "10.0.0.1", "alice",
+              "alice smith", "smith", "bob", "123-4567", "example", "x"]
+_SEPS = [" ", "", ",", " and "]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_resolver_matches_bruteforce_across_tiers(data):
+    from pii_redactor_spark.kernels.scrub import (
+        _gazetteer_spans, _regex_spans, _resolve)
+    frags = data.draw(st.lists(st.sampled_from(_FRAGMENTS),
+                               min_size=1, max_size=6))
+    seps = data.draw(st.lists(st.sampled_from(_SEPS),
+                              min_size=len(frags) - 1,
+                              max_size=len(frags) - 1))
+    text = frags[0] + "".join(s + f for s, f in zip(seps, frags[1:]))
+    values = st.sampled_from(_FRAGMENTS)
+    labels = st.sampled_from(["GIVENNAME1", "LASTNAME1", "EMAIL",
+                              "TEL", "CITY", "USERNAME"])
+    gaz0 = data.draw(st.lists(st.tuples(values, labels),
+                              min_size=0, max_size=4))
+    gaz2 = data.draw(st.lists(st.tuples(values, labels),
+                              min_size=0, max_size=4))
+    spans = (_gazetteer_spans(text, gaz0, tier=0)
+             + _regex_spans(text)
+             + _gazetteer_spans(text, gaz2, tier=2))
+    got = _resolve(list(spans))
+    want = _brute_force_resolve(spans)
+    assert got == want
+    # structural invariants: sorted, non-overlapping
+    for a, b in zip(got, got[1:]):
+        assert a.end <= b.start

@@ -181,9 +181,19 @@ class TestKernelGoldenValues:
     across sessions and machines."""
 
     def test_worstk_ppl_golden(self, spark):
-        from pii_redactor_spark.contract import QUERIES
-        rows = QUERIES["q_worstk_ppl"](spark, "/root/testdata/sf0.001").collect()
-        top5 = [(r["doc_id"], round(r["ppl"], 6)) for r in rows[:5]]
+        # q_worstk_ppl now emits only (doc_id, n_chars) — gated against a
+        # frozen golden oracle — so the ppl VALUES are pinned here via
+        # the kernel directly (same ordering computation)
+        from pyspark.sql import functions as F
+
+        from pii_redactor_spark.kernels.perplexity import make_perplexity_udf
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = (
+            docs.withColumn("ppl", make_perplexity_udf()("text"))
+            .orderBy(F.desc("ppl"), F.asc("doc_id")).limit(5)
+            .select("doc_id", "ppl").collect()
+        )
+        top5 = [(r["doc_id"], round(r["ppl"], 6)) for r in rows]
         assert top5 == [(294, 27.793196), (359, 27.395893),
                         (33, 27.225471), (436, 26.964209),
                         (414, 26.819225)]
