@@ -64,7 +64,18 @@ def _force(df) -> int:
     return 0
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def drift_probe(spark) -> float:
+    """Fixed corpus-independent CPU probe: the same arithmetic job every
+    time, so probe-time swings expose HOST-capacity drift (this VM
+    drifts up to ~4x on a minutes timescale — measured round 2) and let
+    round-over-round headline comparisons be discounted accordingly."""
+    t0 = time.perf_counter()
+    spark.range(0, 30_000_000, 1, 32) \
+        .selectExpr("sum(id * 3 % 7) AS s").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def run_headline(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
     from pii_redactor_spark.contract import QUERIES
 
     timings: dict[str, float] = {}
@@ -75,13 +86,14 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         # Construct the plan once, warm with the same full
         # materialization: driver-side plan construction (py4j) and
         # one-time whole-stage-codegen (Janino) compilation dominate a
-        # cold first run and amortize to nothing at 100 TB — the timed
-        # number is steady-state execution.
+        # cold first run and amortize to nothing at 100 TB. The timed
+        # number is best-of-``reps`` steady-state execution (round-3
+        # bench hygiene: a single rep is hostage to host-capacity
+        # drift; the min of 3 adjacent reps is the quiet-window value).
         df = fn(spark, sf_dir)
         _force(df)
-        t0 = time.perf_counter()
-        _force(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(min(_timed(_force, df)
+                                  for _ in range(reps)), 3)
         from pii_redactor_spark.operators.cache import release_caches
         release_caches()  # per-query cache lifecycle (no leak across loop)
     return timings
@@ -383,7 +395,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     try:
+        drift_probe(spark)  # warm: JIT/codegen, not host capacity
+        probe_before = drift_probe(spark)
         timings = run_headline(spark, sf_dir)
+        probe_after = drift_probe(spark)
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)
@@ -393,6 +408,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # best-of-3 per query; compare rounds only when the probes agree
+        "rep_policy": "best-of-3 after warm",
+        "drift_probe_sec": {"before": probe_before, "after": probe_after},
     }))
 
 
