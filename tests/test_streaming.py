@@ -138,3 +138,32 @@ def test_watermark_drops_late_rows_and_metrics_record_them(spark, tmp_path):
     assert got == s
     row = met.read(spark).filter(F.col("run_id") == "late-run").first()
     assert row["dropped"] == 20 and row["n_docs"] == 20
+
+
+def test_rate_scrub_demo_continuous(spark, tmp_path):
+    """Round-3 roadmap item: the continuous (processing-time) trigger
+    path — micro-batches keep firing from the rate source until stopped;
+    planted PII is redacted in-stream."""
+    import time
+
+    from pii_redactor_spark.streaming.stream import rate_scrub_demo
+    q = rate_scrub_demo(spark, str(tmp_path / "ckpt"),
+                        rows_per_second=200, trigger_seconds=1,
+                        table_name="rate_demo_t")
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM rate_demo_t").first()[0]
+            if n >= 100 and len(q.recentProgress) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM rate_demo_t ORDER BY url LIMIT 500").collect()
+    assert len(rows) >= 100          # multiple live micro-batches drained
+    for r in rows:
+        assert "[TEL]" in r["scrubbed_text"]
+        assert "[EMAIL]" in r["scrubbed_text"]
+        assert "555-" not in r["scrubbed_text"]
+        assert r["n_redactions"] >= 2
