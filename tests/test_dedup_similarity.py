@@ -246,6 +246,24 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     assert mp_recall >= 0.95, f"multiprobe recall: {mp_recall}"
 
 
+def test_text_embeddings_vectorized_matches_expression(spark):
+    # the numpy bincount fold must be bit-identical to the expression
+    # fold (all contributions are ±1.0 — exact in doubles), incl. empty
+    from pii_redactor_spark.operators.similarity import text_embeddings
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(150)
+    docs = docs.unionByName(spark.createDataFrame(
+        [(91001, None), (91002, "")], "doc_id long, text string"))
+    def snap(df):
+        return {r["doc_id"]:
+                (None if r["emb"] is None else tuple(r["emb"]),
+                 r["emb_norm"]) for r in df.collect()}
+    a = snap(text_embeddings(docs, vectorized=True))
+    b = snap(text_embeddings(docs, vectorized=False))
+    assert a == b
+    assert a[91001] == (None, None)  # null text -> null emb in BOTH paths
+
+
 def test_text_embeddings_unit_norm_and_dedup_bridge(spark):
     """text -> embedding bridge: unit-norm vectors, identical texts map
     to identical vectors, and the embedding-near-dup operator finds
