@@ -53,6 +53,8 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_lsh",
     "q_text_embed",
+    "q_decontaminate",
+    "q_split_hash",
     "q_worstk_ppl",
     "q_pipeline_full",
 ]

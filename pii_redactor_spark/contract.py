@@ -1114,6 +1114,72 @@ ORACLE_SQL["q_host_cap"] = _cap_sql(_CORPUS_URLS_SQL, max_per_host=25,
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontaminate.py): flag corpus
+# docs sharing hashed n-grams with a benchmark set (GPT-3 appendix-C
+# methodology). The fake benchmark = every 37th doc; those docs (and any
+# near-verbatim relatives with >= 8 shared words in a row) flag.
+# ---------------------------------------------------------------------------
+_DECON_BENCH_PRED = "doc_id % 37 = 0"
+
+
+def _decon_grams_sql(pred: str | None) -> str:
+    where = f"WHERE {pred}" if pred else ""
+    return f"""SELECT doc_id, list_distinct({_hashed_ngrams_sql(8)}) AS gs
+    FROM (SELECT doc_id, words,
+                 list_transform(words, w -> {_WHASH_FOLD_SQL}) AS whashes
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\\s+'),
+                              w -> w <> '') AS words
+                FROM documents {where}))"""
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH bg AS (SELECT DISTINCT g FROM
+                  (SELECT unnest(gs) AS g
+                   FROM ({_decon_grams_sql(_DECON_BENCH_PRED)}))),
+    cg AS (SELECT doc_id, unnest(gs) AS g FROM ({_decon_grams_sql(None)})),
+    hits AS (SELECT c.doc_id, COUNT(DISTINCT c.g) AS shared_ngrams
+             FROM cg c JOIN bg b ON c.g = b.g GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.shared_ngrams, 0) AS shared_ngrams,
+           COALESCE(h.shared_ngrams, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.operators.decontaminate import contamination
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    return contamination(docs, bench).select(
+        "doc_id", "shared_ngrams", "contaminated")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split (operators/sampling.py hash_split): the
+# non-positional train/val/test splitter — membership is a projection,
+# stable under reordering and corpus growth (contrast O30).
+# ---------------------------------------------------------------------------
+@register(
+    "q_split_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_FOLD8_SQL.format(salt='split:')} % 100 < 80
+                  THEN 'train'
+                WHEN {_FOLD8_SQL.format(salt='split:')} % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS part
+    FROM documents
+    """,
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.operators.sampling import hash_split
+    return hash_split(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "part")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (operators/multimodal.py): binary payload +
 # mapInPandas decode/feature-extract with a deterministic fake decoder
 # (real decoders absent in sandbox). The oracle reproduces the fake's

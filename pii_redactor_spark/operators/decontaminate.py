@@ -1,0 +1,75 @@
+"""Benchmark decontamination: flag corpus documents that share n-gram
+content with an evaluation/benchmark set.
+
+The reference has no notion of eval contamination (its corpus is a
+pre-cleaned HuggingFace pull, reference: optimizer.py:38-53); a
+training-data pipeline cannot ship without this stage — the GPT-3
+appendix-C / PaLM methodology: a training document sharing at least
+``min_shared`` distinct n-grams (n≈8..13) with any benchmark item is
+flagged (and usually dropped) so eval scores aren't inflated by
+memorization.
+
+Scale shape (the part that matters at 100 TB):
+
+- benchmark sets are tiny (10^3..10^5 items) — their distinct gram-hash
+  set BROADCASTS; the corpus is NEVER shuffled for the membership test,
+  only its (rare) hit rows reach the per-doc aggregation;
+- n-grams reuse the quality rules' hashed form (functions/rules.py):
+  one md5 pass per word, integer rot-xor combination — the gram join
+  key is a bigint, not a string;
+- the left join back to the corpus broadcasts the hit table (bounded by
+  benchmark-adjacent docs, not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.functions.rules import (
+    hashed_ngrams_col, word_hashes_col, words_col)
+
+DECONTAM_N = 8  # GPT-3 used 13-grams; 8 suits the short synthetic docs
+
+
+def _distinct_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    return (
+        df.withColumn("_w", words_col(F.col(text_col)))
+        .withColumn("_wh", word_hashes_col(F.col("_w")))
+        .withColumn("_g",
+                    F.array_distinct(hashed_ngrams_col(F.col("_wh"), n)))
+    )
+
+
+def contamination(corpus: DataFrame, benchmark: DataFrame,
+                  n: int = DECONTAM_N, min_shared: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Corpus plus (shared_ngrams: bigint, contaminated: boolean).
+
+    ``shared_ngrams`` counts DISTINCT hashed n-grams a document shares
+    with the union of all benchmark items; ``contaminated`` is the
+    ``>= min_shared`` decision. Documents shorter than ``n`` words can
+    never be flagged (their gram set is empty) — at n=8+ that matches
+    the published methodology (too-short overlaps are noise).
+    """
+    bench_grams = (
+        _distinct_grams(benchmark, bench_text_col, n)
+        .select(F.explode("_g").alias("g")).distinct()
+    )
+    corpus_grams = (
+        _distinct_grams(corpus, text_col, n)
+        .select(id_col, F.explode("_g").alias("g"))
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("shared_ngrams"))
+    )
+    return (
+        corpus.join(F.broadcast(hits), id_col, "left")
+        .withColumn("shared_ngrams",
+                    F.coalesce(F.col("shared_ngrams"), F.lit(0).cast("bigint")))
+        .withColumn("contaminated",
+                    F.col("shared_ngrams") >= F.lit(min_shared))
+    )

@@ -82,6 +82,28 @@ def cap_per_host(df: DataFrame, url_col: str = "url",
     )
 
 
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               salt: str = "split:",
+               train_pct: int = 80, val_pct: int = 10,
+               part_col: str = "part") -> DataFrame:
+    """Deterministic train/val/test split by id-hash percentile — the
+    standard NON-positional corpus splitter (contrast O30's positional
+    slice, which the reference mandates for its devset;
+    membership here is a pure projection: stable under reordering,
+    repartitioning, and corpus growth, and needs no rank at all).
+    md5-fold so the DuckDB oracle reproduces the assignment."""
+    h = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8), 16, 10).cast("bigint"),
+        F.lit(100))
+    return df.withColumn(
+        part_col,
+        F.when(h < train_pct, F.lit("train"))
+         .when(h < train_pct + val_pct, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
 def cap_per_host_oracle_sql(urls_cte: str, max_per_host: int = 100,
                             seed: int = 42,
                             tiebreak_col: str | None = None) -> str:

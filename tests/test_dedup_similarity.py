@@ -289,3 +289,55 @@ def test_text_embeddings_unit_norm_and_dedup_bridge(spark):
              for r in embedding_neardup_pairs(vecs, threshold=0.9).collect()}
     assert pairs.get((0, 1)) == 1.0                # exact dup found
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+class TestDecontamination:
+    def test_flags_verbatim_and_window_overlap_only(self, spark):
+        from pii_redactor_spark.operators.decontaminate import contamination
+        bench_text = ("the capital of france is paris and the capital "
+                      "of italy is rome according to the atlas")
+        corpus = spark.createDataFrame([
+            (0, bench_text),                                    # verbatim
+            (1, "intro words then the capital of france is paris and "
+                "the capital of sweden differs entirely here"),  # 8-run
+            (2, "completely unrelated text about adaptive query "
+                "execution and shuffle partition coalescing"),   # clean
+            (3, "too short to flag"),                            # < n words
+        ], "doc_id long, text string")
+        bench = spark.createDataFrame([(100, bench_text)],
+                                      "doc_id long, text string")
+        got = {r["doc_id"]: (r["shared_ngrams"], r["contaminated"])
+               for r in contamination(corpus, bench).collect()}
+        assert got[0][1] and got[0][0] >= 10     # verbatim: many grams
+        assert got[1][1] and got[1][0] >= 1      # one 8+-word window
+        assert got[2] == (0, False)
+        assert got[3] == (0, False)
+
+    def test_plan_broadcasts_benchmark_and_never_shuffles_corpus(self, spark):
+        from pii_redactor_spark.operators.decontaminate import contamination
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 37 == 0) \
+            .select("doc_id", "text")
+        plan = contamination(docs, bench)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # membership test + hit join-back both broadcast; the only
+        # hash Exchange aggregates the (rare) hit rows
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SinglePartition" not in plan
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    from pii_redactor_spark.operators.sampling import hash_split
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
+        .select("doc_id")
+    a = {r["doc_id"]: r["part"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["part"] for r in
+         hash_split(docs.repartition(7)).collect()}
+    assert a == b                      # reorder/repartition invariant
+    from collections import Counter
+    c = Counter(a.values())
+    n = len(a)
+    assert abs(c["train"] / n - 0.8) < 0.03
+    assert abs(c["val"] / n - 0.1) < 0.02
+    assert abs(c["test"] / n - 0.1) < 0.02
