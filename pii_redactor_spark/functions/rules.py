@@ -109,21 +109,39 @@ def _rot60(h: Column, s: int) -> Column:
         F.shiftleft(h.bitwiseAND(F.lit(mask)), 60 - s))
 
 
+def _rot60_zipper(s: int):
+    """zip_with merge binding the rotation OUTSIDE the lambda (default
+    args change the lambda's arity and break PySpark's HOF builder)."""
+    mask = (1 << s) - 1
+
+    def f(a: Column, b: Column) -> Column:
+        if s == 0:
+            return a.bitwiseXOR(b)
+        return a.bitwiseXOR(
+            F.shiftright(b, s).bitwiseOR(
+                F.shiftleft(b.bitwiseAND(F.lit(mask)), 60 - s)))
+    return f
+
+
 def hashed_ngrams_col(whashes: Column, n: int) -> Column:
     """array<bigint> of hashed word n-grams: gram_i = XOR over k of
-    rot60(whash[i+k], 7k). Empty array for <n words."""
-    idx = F.sequence(F.lit(0), F.size(whashes) - n)
+    rot60(whash[i+k], 7k). Empty array for <n words.
 
-    def gram(i: Column) -> Column:
-        out = _rot60(F.element_at(whashes, i + 1), 0)
-        for k in range(1, n):
-            out = out.bitwiseXOR(
-                _rot60(F.element_at(whashes, i + k + 1),
-                       (NGRAM_ROT_STEP * k) % 60))
-        return out
-
-    return F.when(F.size(whashes) >= n, F.transform(idx, gram)) \
-        .otherwise(F.array().cast("array<bigint>"))
+    Built as chained ``zip_with`` over SHIFTED SLICES of ``whashes`` —
+    never ``element_at`` inside a ``transform`` lambda: if Catalyst's
+    CollapseProject re-inlines a single-use whashes projection (it did,
+    round 3), a lambda-captured element_at re-evaluates the whole
+    md5-per-word transform PER ELEMENT PER POSITION — O(words²·n) md5
+    calls per document (a planted 22-minute single task at sf0.1).
+    Slices evaluate their input once per ROW, so the worst case under
+    inlining is n evaluations per row, linear always."""
+    m = F.size(whashes)
+    ln = F.greatest(m - n + 1, F.lit(0))
+    out = F.slice(whashes, 1, ln)
+    for k in range(1, n):
+        out = F.zip_with(out, F.slice(whashes, k + 1, ln),
+                         _rot60_zipper((NGRAM_ROT_STEP * k) % 60))
+    return out
 
 
 def quality_columns(

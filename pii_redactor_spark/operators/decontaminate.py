@@ -53,13 +53,21 @@ def contamination(corpus: DataFrame, benchmark: DataFrame,
     never be flagged (their gram set is empty) — at n=8+ that matches
     the published methodology (too-short overlaps are noise).
     """
+    # explode_outer + null filter, NOT explode: Spark's
+    # InferFiltersFromGenerate infers `size(_g) > 0` from a plain
+    # explode and pushes it to the scan with the WHOLE gram expression
+    # inlined — every md5 computed twice, interpreted (measured 2-30x;
+    # the rule skips outer generates, and the null filter on the OUTPUT
+    # column is equivalent and cheap)
     bench_grams = (
         _distinct_grams(benchmark, bench_text_col, n)
-        .select(F.explode("_g").alias("g")).distinct()
+        .select(F.explode_outer("_g").alias("g"))
+        .where(F.col("g").isNotNull()).distinct()
     )
     corpus_grams = (
         _distinct_grams(corpus, text_col, n)
-        .select(id_col, F.explode("_g").alias("g"))
+        .select(id_col, F.explode_outer("_g").alias("g"))
+        .where(F.col("g").isNotNull())
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g")

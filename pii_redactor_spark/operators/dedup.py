@@ -179,9 +179,15 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
     """(id, band_idx, band_hash) — one row per doc per band. Projection +
     explode only; the downstream bucket join supplies the shuffle."""
     sigs = with_minhash(docs, text_col)
+    # explode_outer + null filter: a plain explode triggers
+    # InferFiltersFromGenerate, which duplicates the whole signature
+    # expression into a pushed-down size() filter (see
+    # operators/decontaminate.py)
     return (
         sigs
-        .select(F.col(id_col), F.explode(band_hashes(F.col("sig"))).alias("b"))
+        .select(F.col(id_col),
+                F.explode_outer(band_hashes(F.col("sig"))).alias("b"))
+        .where(F.col("b").isNotNull())
         .select(id_col, "b.band_idx", "b.band_hash")
     )
 

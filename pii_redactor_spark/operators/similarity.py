@@ -158,11 +158,16 @@ def ann_lsh(emb: DataFrame, k: int = TOP_K,
     per band."""
     queries, corpus = _split_queries(emb, n_queries)
     r = planes // bands
+    # explode_outer + null filter everywhere in this module: plain
+    # explode triggers InferFiltersFromGenerate, which duplicates the
+    # band/bucket expression into a pushed-down size() filter (see
+    # operators/decontaminate.py)
     qb = (
         queries
         .select("query_id", "qv",
-                F.explode(band_buckets_expr(F.col("qv"), planes, bands))
+                F.explode_outer(band_buckets_expr(F.col("qv"), planes, bands))
                  .alias("b"))
+        .where(F.col("b").isNotNull())
         .select("query_id", "qv", "b.band_idx", "b.band_bits")
     )
     if multiprobe:
@@ -172,13 +177,15 @@ def ann_lsh(emb: DataFrame, k: int = TOP_K,
         )
         qb = (
             qb.select("query_id", "qv", "band_idx",
-                      F.explode(probes).alias("band_bits"))
+                      F.explode_outer(probes).alias("band_bits"))
+            .where(F.col("band_bits").isNotNull())
         )
     cb = (
         corpus
         .select("vec_id", "v",
-                F.explode(band_buckets_expr(F.col("v"), planes, bands))
+                F.explode_outer(band_buckets_expr(F.col("v"), planes, bands))
                  .alias("b"))
+        .where(F.col("b").isNotNull())
         .select("vec_id", "v", "b.band_idx", "b.band_bits")
     )
     cand = (
@@ -260,7 +267,9 @@ def ann_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
             " WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1"
             " WHEN l.label < r.label THEN -1 WHEN l.label > r.label THEN 1"
             " ELSE 0 END)"), 1, nprobe))
-        .select("query_id", "qv", F.explode(F.col("_top.label")).alias("label"))
+        .select("query_id", "qv",
+                F.explode_outer(F.col("_top.label")).alias("label"))
+        .where(F.col("label").isNotNull())
     )
     # per-vector nearest list: struct array_max = argmax by (ccos, then
     # smallest label on ties — negate label so lexicographic max agrees
@@ -339,7 +348,9 @@ def embedding_neardup_pairs(emb: DataFrame,
     banded = registered_persist(  # both sides of the self-join
         vecs.select(
             "vec_id", "v",
-            F.explode(band_buckets_expr(F.col("v"), planes, bands)).alias("b"))
+            F.explode_outer(band_buckets_expr(F.col("v"), planes, bands))
+             .alias("b"))
+        .where(F.col("b").isNotNull())
         .select("vec_id", "v", "b.band_idx", "b.band_bits")
     )
     left = banded.select(F.col("vec_id").alias("id_a"),
