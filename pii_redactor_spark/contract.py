@@ -1198,6 +1198,18 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_media_resize", oracle=_mm.media_meta_resize_sql())
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize targets (longest side <= 256, never
+    upscaled, NULL for audio) — the geometry step of the multimodal
+    decode/feature-extract/resize/frame-sample family. Computed inside
+    the same single mapInPandas pass as the decode."""
+    docs = _t(spark, sf_dir, "documents")
+    return _mm.media_meta(docs).select(
+        "doc_id", "mime", "width", "height", "resized_w", "resized_h",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over the embeddings table (operators/similarity.py):
 # brute-force cosine top-k baseline + LSH sign-projection scale path.

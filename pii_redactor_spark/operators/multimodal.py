@@ -45,9 +45,27 @@ MEDIA_META_SCHEMA = StructType([
     StructField("feature", ArrayType(FloatType())),
     StructField("feature_checksum", DoubleType()),
     StructField("frame_samples", ArrayType(DoubleType())),
+    StructField("resized_w", IntegerType()),
+    StructField("resized_h", IntegerType()),
 ])
 
 MAX_FRAME_SAMPLES = 4
+RESIZE_MAX_SIDE = 256
+
+
+def resize_dims(width: int, height: int,
+                max_side: int = RESIZE_MAX_SIDE) -> tuple[int, int]:
+    """Aspect-preserving resize target: longest side capped at
+    ``max_side``, never upscaled. Pure INTEGER floor arithmetic so any
+    engine reproduces it exactly (float division rounds differently at
+    exact-integer quotients). The pixel resample itself is part of the
+    stubbed decode; this is the target-geometry computation every
+    image/video preprocessor runs before it."""
+    longest = max(width, height)
+    if longest <= max_side:
+        return width, height
+    return (max(1, (width * max_side) // longest),
+            max(1, (height * max_side) // longest))
 
 
 def sample_frames(duration_s: float,
@@ -114,6 +132,11 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [_fake_decode(p) for p in pdf["payload"]]
+            resized = [
+                resize_dims(m[0], m[1]) if not mime.startswith("audio/")
+                else (None, None)
+                for m, mime in zip(metas, pdf["mime"])
+            ]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "mime": pdf["mime"],
@@ -127,6 +150,10 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
                     sample_frames(m[2]) if mime.startswith("video/") else []
                     for m, mime in zip(metas, pdf["mime"])
                 ],
+                "resized_w": pd.array([r[0] for r in resized],
+                                      dtype="Int32"),
+                "resized_h": pd.array([r[1] for r in resized],
+                                      dtype="Int32"),
             })
 
     return media.mapInPandas(run, MEDIA_META_SCHEMA)
@@ -168,4 +195,24 @@ SELECT doc_id, mime, n_bytes,
          AS duration_s,
        round({feat_terms}, 6) AS feature_checksum
 FROM base
+"""
+
+
+def media_meta_resize_sql(table: str = "documents",
+                          max_side: int = RESIZE_MAX_SIDE) -> str:
+    """Oracle twin of ``resize_dims`` over the media_meta base: integer
+    floor division on both engines (Python ``//`` == DuckDB ``//`` for
+    positive operands), NULL for audio."""
+    return f"""
+WITH meta AS ({media_meta_oracle_sql(table)})
+SELECT doc_id, mime, width, height,
+  CASE WHEN mime LIKE 'audio/%' THEN NULL
+       WHEN greatest(width, height) <= {max_side} THEN width
+       ELSE CAST(greatest(1, (width * {max_side})
+                 // greatest(width, height)) AS INT) END AS resized_w,
+  CASE WHEN mime LIKE 'audio/%' THEN NULL
+       WHEN greatest(width, height) <= {max_side} THEN height
+       ELSE CAST(greatest(1, (height * {max_side})
+                 // greatest(width, height)) AS INT) END AS resized_h
+FROM meta
 """

@@ -19,6 +19,7 @@ def test_media_meta_schema_and_determinism(docs):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "mime", "n_bytes", "width", "height", "duration_s",
         "feature", "feature_checksum", "frame_samples",
+        "resized_w", "resized_h",
     ]
     rows = {r["doc_id"]: r for r in out.collect()}
     assert len(rows) == 500
@@ -54,6 +55,26 @@ def test_frame_samples_only_for_video(docs):
             assert fs == sorted(fs)
         else:
             assert r["frame_samples"] == []
+
+
+def test_resize_dims_unit():
+    # no upscale; longest side capped; aspect preserved via floor
+    assert mm.resize_dims(100, 50) == (100, 50)
+    assert mm.resize_dims(512, 256) == (256, 128)
+    assert mm.resize_dims(1920, 1080) == ((1920 * 256) // 1920,
+                                          (1080 * 256) // 1920)
+    assert mm.resize_dims(1, 10000) == (1, 256)  # floor clamps to >= 1
+
+
+def test_resize_mime_gating(docs):
+    rows = mm.media_meta(docs).collect()
+    for r in rows:
+        if r["mime"].startswith("audio/"):
+            assert r["resized_w"] is None and r["resized_h"] is None
+        else:
+            rw, rh = mm.resize_dims(r["width"], r["height"])
+            assert (r["resized_w"], r["resized_h"]) == (rw, rh)
+            assert max(r["resized_w"], r["resized_h"]) <= mm.RESIZE_MAX_SIDE
 
 
 def test_real_decode_is_gated():
