@@ -1114,6 +1114,43 @@ ORACLE_SQL["q_host_cap"] = _cap_sql(_CORPUS_URLS_SQL, max_per_host=25,
 
 
 # ---------------------------------------------------------------------------
+# Hybrid per-group rank (operators/ranking.py group_row_number): exact
+# per-host row_number in the regime where host cardinality is extreme
+# AND one host holds half the crawl — cold hosts rank in a plain
+# distributed window, hot hosts (found by one count aggregate) go
+# through the bounded bucketed rank. hot_threshold=50 exercises BOTH
+# branches on the synthetic corpus (bighost ~50% of docs).
+# ---------------------------------------------------------------------------
+@register(
+    "q_host_rank",
+    oracle=f"""
+    WITH urls AS ({_CORPUS_URLS_SQL})
+    SELECT doc_id,
+           lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+             ORDER BY doc_id) AS INT) AS rn
+    FROM urls
+    """,
+)
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.operators.ranking import group_row_number
+    from pii_redactor_spark.operators.sampling import HOST_RE
+    from pii_redactor_spark.sources.corpus import from_documents
+    corpus = from_documents(_t(spark, sf_dir, "documents")).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+         .alias("doc_id"),
+        F.lower(F.regexp_extract("url", HOST_RE, 1)).alias("host"),
+    )
+    return (
+        group_row_number(corpus, "host", "doc_id", hot_threshold=50)
+        .select("doc_id", "host", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (operators/decontaminate.py): flag corpus
 # docs sharing hashed n-grams with a benchmark set (GPT-3 appendix-C
 # methodology). The fake benchmark = every 37th doc; those docs (and any

@@ -163,3 +163,52 @@ def global_row_number(df: DataFrame, order_col: str,
         .withColumn(rn_name, F.row_number().over(w) + F.col("_off"))
         .drop("_bucket", "_off")
     )
+
+
+HOT_GROUP_THRESHOLD = 100_000  # rows per group above which a plain
+                               # window partition is considered skewed
+
+
+def group_row_number(df: DataFrame, group_col: str, order_col: str,
+                     extra_order_cols: tuple[str, ...] = (),
+                     hot_threshold: int = HOT_GROUP_THRESHOLD,
+                     num_buckets: int | None = None,
+                     rn_name: str = "rn",
+                     seed: int = 42) -> DataFrame:
+    """Per-group ``row_number`` at EXTREME group cardinality with a hot
+    head — the regime neither pure strategy survives (round-3 roadmap):
+
+    - ``global_row_number(partition_cols=(group,))`` collects a
+      |groups| x |buckets| offsets table — driver-fatal at 10^9 hosts;
+    - a plain ``Window.partitionBy(group)`` is fully distributed across
+      many groups but puts a hot group (one host = half the crawl) into
+      ONE task, and AQE skew-splitting does not apply to windows.
+
+    Hybrid: one exact count aggregate finds the groups above
+    ``hot_threshold`` — ONLY those are collected (tiny by the skew
+    assumption: at most corpus/threshold of them can exist). Cold groups
+    take the plain per-group window (every partition <= threshold rows);
+    hot groups take the bucketed two-phase rank (every window partition
+    ~group/num_buckets rows, offsets table |hot| x |buckets| — small).
+    Output is bit-identical to the single-window formulation provided
+    (order_col, *extra_order_cols) is a total order within each group.
+    """
+    hot_rows = (
+        df.groupBy(group_col).count()
+        .filter(F.col("count") > hot_threshold)
+        .select(group_col).collect()
+    )
+    hot = [r[group_col] for r in hot_rows]
+
+    w = Window.partitionBy(group_col).orderBy(order_col, *extra_order_cols)
+    if not hot:
+        return df.withColumn(rn_name, F.row_number().over(w))
+
+    is_hot = F.col(group_col).isin(hot)
+    cold_ranked = df.filter(~is_hot).withColumn(
+        rn_name, F.row_number().over(w))
+    hot_ranked = global_row_number(
+        df.filter(is_hot), order_col, partition_cols=(group_col,),
+        extra_order_cols=extra_order_cols, num_buckets=num_buckets,
+        rn_name=rn_name, seed=seed)
+    return cold_ranked.unionByName(hot_ranked)

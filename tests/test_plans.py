@@ -192,6 +192,42 @@ def test_global_row_number_matches_window_semantics(spark, docs):
     assert got == want
 
 
+def test_group_row_number_hybrid_matches_window_semantics(spark, docs):
+    # extreme-cardinality regime: hot groups (above threshold) take the
+    # bucketed two-phase rank, cold groups a plain window — union must
+    # equal the single-window formulation exactly
+    from pyspark.sql.window import Window
+    from pii_redactor_spark.operators.ranking import group_row_number
+    # lang is skewed enough at sf0.001: make one group hot via threshold
+    d = docs.select("doc_id", "lang")
+    counts = {r["lang"]: r["count"]
+              for r in d.groupBy("lang").count().collect()}
+    thr = sorted(counts.values())[len(counts) // 2]  # some hot, some cold
+    assert any(c > thr for c in counts.values())
+    assert any(c <= thr for c in counts.values())
+    got = {(r["doc_id"], r["rn"]) for r in
+           group_row_number(d, "lang", "doc_id", hot_threshold=thr,
+                            num_buckets=7).collect()}
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    want = {(r["doc_id"], r["rn"]) for r in
+            d.select("doc_id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+    # all-cold fallback: one plain window, no bucketing machinery
+    allcold = group_row_number(d, "lang", "doc_id",
+                               hot_threshold=10**9)
+    assert "_bucket" not in _plan(allcold)
+    got2 = {(r["doc_id"], r["rn"]) for r in allcold.collect()}
+    assert got2 == want
+
+
+def test_host_rank_plan_has_no_single_partition(spark):
+    from pii_redactor_spark.contract import QUERIES
+    plan = _plan(QUERIES["q_host_rank"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "_bucket" in plan            # hot branch engaged (bighost)
+    assert "BroadcastExchange" in plan  # offsets join on the hot side
+
+
 def test_host_cap_windows_are_salted_two_phase(spark, docs):
     # round-2 fix: phase-1 window must partition by (host, salt) so no
     # window partition scales with the hot host; AQE cannot split
