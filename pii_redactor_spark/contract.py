@@ -1266,6 +1266,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_ivf(_t(spark, sf_dir, "embeddings"))
 
 
+@register("q_ann_pq", oracle=_sim.ann_pq_oracle_sql())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011): corpus
+    vectors compressed to M subspace codes (32x smaller than the raw
+    floats — the representation a 100 TB vector store actually scans),
+    per-query M x K distance lookup tables, candidate pool by the
+    ADC approximate distance, exact cosine rerank to top-k."""
+    return _sim.ann_pq(_t(spark, sf_dir, "embeddings"))
+
+
 @register("q_ann_lsh", oracle=_sim.ann_lsh_oracle_sql())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_lsh(_t(spark, sf_dir, "embeddings"))

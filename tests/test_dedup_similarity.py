@@ -246,6 +246,38 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     assert mp_recall >= 0.95, f"multiprobe recall: {mp_recall}"
 
 
+def test_ann_pq_recall_and_code_shape(emb):
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.ann_bruteforce(emb).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in similarity.ann_pq(emb).collect()}
+    recall = len(exact & approx) / len(exact)
+    # orthant-mean codebook, refine=3: measured 0.84 on this corpus
+    # (label-mean codewords gave 0.26 — the fit matters)
+    assert recall >= 0.7, f"PQ recall too low: {recall}"
+    # compressed representation: one byte-sized code per subspace
+    cells = similarity._pq_cell_literals(
+        similarity.pq_fit_cells(emb), similarity.PQ_M,
+        similarity.EMB_DIM // similarity.PQ_M)
+    vecs = emb.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v"))
+    codes = similarity.pq_encode(vecs, cells).select("vec_id", "code")
+    for r in codes.collect():
+        assert len(r["code"]) == similarity.PQ_M
+        assert all(1 <= c <= 256 for c in r["code"])
+
+
+def test_ann_pq_candidate_cut_is_two_phase(emb):
+    # the ADC cut must never window the whole scored corpus per query:
+    # phase-1 local top-R per (query, physical partition), phase-2 over
+    # the survivors only
+    plan = similarity.ann_pq(emb)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "SinglePartition" not in plan
+    assert plan.count("Window [row_number()") >= 3  # cut x2 + final topk
+    assert "_pid" in plan and "SPARK_PARTITION_ID" in plan.upper()
+
+
 def test_text_embeddings_vectorized_matches_expression(spark):
     # the numpy bincount fold must be bit-identical to the expression
     # fold (all contributions are ±1.0 — exact in doubles), incl. empty
