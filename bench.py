@@ -52,6 +52,8 @@ HEADLINE = [
     "q_ann_bruteforce",
     "q_ann_ivf",
     "q_ann_lsh",
+    "q_ann_pq",
+    "q_host_rank",
     "q_text_embed",
     "q_decontaminate",
     "q_split_hash",

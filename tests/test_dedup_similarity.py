@@ -261,10 +261,22 @@ def test_ann_pq_recall_and_code_shape(emb):
         similarity.EMB_DIM // similarity.PQ_M)
     vecs = emb.select(
         "vec_id", similarity.as_double(F.col("embedding")).alias("v"))
-    codes = similarity.pq_encode(vecs, cells).select("vec_id", "code")
-    for r in codes.collect():
-        assert len(r["code"]) == similarity.PQ_M
-        assert all(1 <= c <= 256 for c in r["code"])
+    codes = {r["vec_id"]: list(r["code"]) for r in
+             similarity.pq_encode(vecs, cells).collect()}
+    for code in codes.values():
+        assert len(code) == similarity.PQ_M
+        assert all(1 <= c <= 256 for c in code)
+    # the vectorized Arrow-hop encoder must be bit-identical to the
+    # expression reference form (left-to-right accumulation, first-min
+    # argmin)
+    cell_rows = similarity.pq_fit_cells(emb)
+    enc = similarity.make_pq_encode_udf(
+        similarity._pq_cells_np(cell_rows, similarity.PQ_M,
+                                similarity.EMB_DIM // similarity.PQ_M),
+        similarity.EMB_DIM // similarity.PQ_M)
+    fast = {r["vec_id"]: list(r["code"]) for r in
+            vecs.select("vec_id", enc(F.col("v")).alias("code")).collect()}
+    assert fast == codes
 
 
 def test_ann_pq_candidate_cut_is_two_phase(emb):
