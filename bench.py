@@ -43,6 +43,7 @@ HEADLINE = [
     "q_nation_revenue",
     "q_quality_stats",
     "q_quality_keep",
+    "q_quality_clf",
     "q_dedup_exact",
     "q_dedup_minhash_bands",
     "q_dedup_lsh_pairs",

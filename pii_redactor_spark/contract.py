@@ -1316,3 +1316,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
          .alias("bpe_ish_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (fastText/DCLM-style hashed-BoW LR) —
+# the supervised twin of the heuristic q_quality_keep gate. The
+# reference's analogue is the per-document LLM keep/drop call
+# (reference: main.py run loop); here the decision is a fitted linear
+# model served as a pure projection (kernels/quality_clf.py).
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.kernels import quality_clf as _qclf  # noqa: E402
+
+
+@register("q_quality_clf", oracle=_qclf.quality_clf_oracle_sql())
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qclf.quality_clf_columns(_t(spark, sf_dir, "documents"))

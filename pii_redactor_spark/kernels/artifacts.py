@@ -22,6 +22,7 @@ import numpy as np
 
 from pii_redactor_spark.kernels import langid as _langid
 from pii_redactor_spark.kernels import perplexity as _ppl
+from pii_redactor_spark.kernels import quality_clf as _qclf
 from pii_redactor_spark.kernels.corpora import SEED_CORPORA
 
 MANIFEST = "manifest.json"
@@ -37,6 +38,9 @@ def save_artifacts(path: str | Path) -> dict:
     for lang in sorted(SEED_CORPORA):
         np.savez_compressed(out / f"charlm_{lang}.npz",
                             logp=_ppl.fit_charlm(lang))
+    qw, qb = _qclf.fit_quality_clf()
+    np.savez_compressed(out / "quality_clf.npz", weights=qw,
+                        bias=np.array([qb], dtype=np.int64))
     manifest = {
         "format": 1,
         "langid": {"n_buckets": _langid.N_BUCKETS,
@@ -45,6 +49,9 @@ def save_artifacts(path: str | Path) -> dict:
         "charlm": {"alphabet_size": _ppl.A,
                    "lambdas": list(_ppl.LAMBDAS),
                    "languages": sorted(SEED_CORPORA)},
+        "quality_clf": {"dim": _qclf.CLF_DIM,
+                        "scale": _qclf._SCALE,
+                        "threshold": _qclf.CLF_THRESHOLD},
     }
     (out / MANIFEST).write_text(json.dumps(manifest, indent=1))
     return manifest
@@ -89,8 +96,14 @@ def load_tables(path: str | Path) -> dict:
     for lang in manifest["charlm"]["languages"]:
         with np.load(out / f"charlm_{lang}.npz", allow_pickle=False) as z:
             charlms[lang] = z["logp"].copy()
-    return {"langid": langid_tables, "charlms": charlms,
-            "manifest": manifest}
+    tables = {"langid": langid_tables, "charlms": charlms,
+              "manifest": manifest}
+    # quality_clf is absent from pre-round-3 artifact dirs — tolerate
+    if (out / "quality_clf.npz").exists():
+        with np.load(out / "quality_clf.npz", allow_pickle=False) as z:
+            tables["quality_clf"] = (z["weights"].copy(),
+                                     int(z["bias"][0]))
+    return tables
 
 
 ARTIFACTS_ENV = "PII_SPARK_ARTIFACTS"
@@ -123,4 +136,6 @@ def load_artifacts(path: str | Path) -> dict:
     t = load_tables(path)
     _langid.preload(t["langid"])
     _ppl.preload(t["charlms"])
+    if "quality_clf" in t:
+        _qclf.preload(t["quality_clf"])
     return t["manifest"]
