@@ -44,6 +44,9 @@ HEADLINE = [
     "q_quality_stats",
     "q_quality_keep",
     "q_quality_clf",
+    "q_quality_nb_counts",
+    "q_quality_tiers",
+    "q_domain_mix",
     "q_dedup_exact",
     "q_dedup_minhash_bands",
     "q_dedup_lsh_pairs",

@@ -1331,3 +1331,49 @@ from pii_redactor_spark.kernels import quality_clf as _qclf  # noqa: E402
 @register("q_quality_clf", oracle=_qclf.quality_clf_oracle_sql())
 def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qclf.quality_clf_columns(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# NB fit sufficient statistics (kernels/quality_clf.py nb_bucket_counts)
+# — the corpus-scale one-pass fit path: per-(bucket, class) word counts
+# in ONE aggregation (map-side partial agg, dim-bounded state). The
+# contract query uses a cheap deterministic weak label (n_chars >= 300)
+# so the oracle stays engine-exact; real deployments feed curated
+# labels through the same aggregation.
+# ---------------------------------------------------------------------------
+@register("q_quality_nb_counts",
+          oracle=_qclf.nb_counts_oracle_sql("n_chars >= 300"))
+def q_quality_nb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents") \
+        .withColumn("_label", F.col("n_chars") >= 300)
+    return _qclf.nb_bucket_counts(docs, "_label")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style head/middle/tail quality tiers: exact global terciles of
+# the classifier logit via the bounded two-phase rank (never Exchange
+# SinglePartition) — CCNet cuts its corpus on LM-perplexity terciles;
+# this is the same cut on the model quality score.
+# ---------------------------------------------------------------------------
+@register("q_quality_tiers", oracle=_qclf.quality_tiers_oracle_sql())
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qclf.quality_tiers(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing with fractional epochs (operators/sampling.py
+# domain_mix): deterministic per-language resampling — floor(w) copies
+# plus an md5-decided extra for the fractional part; 0 drops a group,
+# 2.5 emits 2-3 copies. Pure projection + a bounded generate.
+# ---------------------------------------------------------------------------
+MIX_WEIGHTS = {"en": 0.5, "es": 2.5, "de": 1.25, "zh": 0.0}
+
+from pii_redactor_spark.operators.sampling import (  # noqa: E402
+    domain_mix, domain_mix_oracle_sql)
+
+
+@register("q_domain_mix", oracle=domain_mix_oracle_sql(MIX_WEIGHTS))
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mix(
+        _t(spark, sf_dir, "documents"), MIX_WEIGHTS
+    ).select("doc_id", "lang", "copy")

@@ -243,6 +243,103 @@ def quality_clf_columns(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Distributed one-pass fit: hashed complement Naive Bayes.
+#
+# The gradient-descent fit above is driver-side over embedded seed data
+# — honest about the sandbox, but not the 100 TB story. NB *is*: its
+# sufficient statistics are per-(bucket, class) word counts, ONE
+# DataFrame aggregation over the labeled corpus (map-side partial agg,
+# CLF_DIM-bounded state per task, one dim-sized shuffle), collected as
+# a <= CLF_DIM-row table. The classic one-pass distributed text
+# classifier; fastText's supervised mode is the iterated refinement of
+# the same hashed-BoW feature space.
+# ---------------------------------------------------------------------------
+
+NB_ALPHA = 0.5  # Lidstone smoothing
+
+
+def nb_bucket_counts(docs: DataFrame, label_col: str,
+                     text_col: str = "text",
+                     dim: int = CLF_DIM) -> DataFrame:
+    """(bucket, n_pos, n_neg): per-hash-bucket word counts by class —
+    the NB fit's sufficient statistics in one aggregation pass.
+    count-FILTER form on both engines so the outputs stay BIGINT.
+    Explode hygiene per CLAUDE.md: explode_outer + null-filter."""
+    from pii_redactor_spark.functions.rules import words_col
+    per_word = (
+        docs
+        .withColumn("_words", words_col(F.col(text_col)))
+        .withColumn("_buckets", F.transform(
+            F.col("_words"), lambda w: _bucket_expr(w, dim)))
+        .select(F.col(label_col).alias("_y"),
+                F.explode_outer("_buckets").alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+    )
+    return per_word.groupBy("bucket").agg(
+        F.count(F.when(F.col("_y"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("_y"), 1)).alias("n_neg"),
+    )
+
+
+def fit_quality_nb(docs: DataFrame, label_col: str,
+                   text_col: str = "text", dim: int = CLF_DIM,
+                   alpha: float = NB_ALPHA) -> tuple[np.ndarray, int]:
+    """Corpus-scale NB fit: one aggregation job + a <= dim-row collect,
+    then driver-side log-odds (deterministic numpy on exact integer
+    counts). Returns the same (scaled int64 weights, scaled bias)
+    contract as ``fit_quality_clf`` — serving via
+    ``quality_clf_columns(weights=...)`` is unchanged.
+
+    bias is 0: serving mean-pools (divides the word sum by n_words), so
+    the score is the per-word AVERAGE log-odds — class priors do not
+    survive length normalization (the same normalization CCNet applies
+    to its LM scores), and the keep decision is "words on average favor
+    the positive class"."""
+    rows = nb_bucket_counts(docs, label_col, text_col, dim).collect()
+    pos = np.zeros(dim)
+    neg = np.zeros(dim)
+    for r in rows:
+        pos[r["bucket"]] = r["n_pos"]
+        neg[r["bucket"]] = r["n_neg"]
+    w = (np.log((pos + alpha) / (pos.sum() + alpha * dim))
+         - np.log((neg + alpha) / (neg.sum() + alpha * dim)))
+    return np.rint(w * _SCALE).astype(np.int64), 0
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality tiers (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+def quality_tiers(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, q_logit, rn, tier): exact global rank-terciles of the model
+    quality score — CCNet buckets its corpus into head/middle/tail by
+    LM perplexity terciles and trains on the head; this is the same cut
+    driven by the classifier logit. Rank is the bounded two-phase
+    global_row_number (never Exchange SinglePartition; ties broken by
+    id for a total order); tier = ((rn-1)*3) div n in exact integer
+    arithmetic on both engines. The scored projection is persisted —
+    the rank primitive runs two tiny auxiliary jobs over it."""
+    from pii_redactor_spark.operators.cache import registered_persist
+    from pii_redactor_spark.operators.ranking import global_row_number
+    scored = registered_persist(
+        quality_clf_columns(docs, text_col=text_col, id_col=id_col)
+        .select(id_col, "q_logit"))
+    n = scored.count()
+    ranked = global_row_number(scored, "q_logit",
+                               extra_order_cols=(id_col,), rn_name="rn")
+    tier_idx = F.expr(f"((rn - 1) * 3) div {n}")
+    return ranked.select(
+        id_col,
+        "q_logit",
+        F.col("rn").cast("int").alias("rn"),
+        F.element_at(
+            F.array(F.lit("tail"), F.lit("middle"), F.lit("head")),
+            tier_idx.cast("int") + 1).alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle twin
 # ---------------------------------------------------------------------------
 
@@ -286,4 +383,52 @@ SELECT {id_col}, n_words,
        round(logit, 6) + 0.0 AS q_logit,
        (round(logit, 6) + 0.0) >= {threshold!r} AS clf_keep
 FROM scored
+"""
+
+
+def nb_counts_oracle_sql(label_sql: str, table: str = "documents",
+                         text_col: str = "text",
+                         dim: int = CLF_DIM) -> str:
+    """DuckDB twin of ``nb_bucket_counts``: same word split, same md5
+    bucket fold, COUNT-FILTER per class (stays BIGINT on both engines).
+    ``label_sql`` is a boolean expression over ``table``'s columns."""
+    from pii_redactor_spark.operators.dedup import _WORDS_SQL
+    words = _WORDS_SQL.format(t=text_col)
+    fold = (
+        "list_sum(list_transform(range(8), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('qc:' || lower(w)), "
+        "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
+        "CAST(power(16, 7 - i) AS BIGINT)))"
+    )
+    return f"""
+WITH base AS (
+  SELECT ({label_sql}) AS y, {words} AS ws FROM {table}),
+perword AS (
+  SELECT y, CAST({fold} % {dim} AS INT) AS bucket
+  FROM (SELECT y, unnest(ws) AS w FROM base))
+SELECT bucket,
+       COUNT(*) FILTER (WHERE y) AS n_pos,
+       COUNT(*) FILTER (WHERE NOT y) AS n_neg
+FROM perword GROUP BY bucket
+"""
+
+
+def quality_tiers_oracle_sql(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``quality_tiers``: the single-window ROW_NUMBER
+    formulation over the scored CTE; tier via exact integer division."""
+    scored = quality_clf_oracle_sql(table, text_col, id_col)
+    return f"""
+WITH clf AS ({scored}),
+ranked AS (
+  SELECT {id_col}, q_logit,
+         CAST(ROW_NUMBER() OVER (ORDER BY q_logit, {id_col}) AS INT) AS rn,
+         COUNT(*) OVER () AS n
+  FROM clf)
+SELECT {id_col}, q_logit, rn,
+       CASE ((rn - 1) * 3) // n
+         WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head'
+       END AS tier
+FROM ranked
 """

@@ -104,6 +104,91 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
          .otherwise(F.lit("test")))
 
 
+MIX_RES = 1_000_000  # fractional-keep resolution (md5-percentile grid)
+
+
+def domain_mix(df: DataFrame, weights: dict[str, float],
+               group_col: str = "lang", id_col: str = "doc_id",
+               salt: str = "mix:", default_weight: float = 1.0,
+               copy_col: str = "copy") -> DataFrame:
+    """Deterministic domain/language mixing with fractional epochs —
+    the training-data resampling step (GPT-3 / The Pile / DoReMi style
+    domain weights). ``weights[g] = w`` means every doc of group ``g``
+    is emitted ``floor(w)`` times, plus one more with probability
+    ``w - floor(w)`` decided by an md5 fold of (salt, id) — so 0.5
+    downsamples by half, 2.5 emits 2 or 3 copies. Reproducible in any
+    engine (no rand()), stable under reordering and corpus growth.
+
+    Plan shape: pure projection + one generate (explode) whose array is
+    at most ``ceil(max(w))`` elements — no shuffle, no driver data.
+    Output rows carry ``copy_col`` (1-based epoch index) so downstream
+    shuffles can decorrelate copies. ``sequence`` is built only for
+    n >= 1 (Spark's ``sequence(1, 0)`` counts DOWN — [1, 0]); the
+    explode is ``explode_outer`` + null-filter per the
+    InferFiltersFromGenerate double-eval rule (CLAUDE.md)."""
+    w_expr = F.lit(float(default_weight))
+    for g, w in sorted(weights.items()):
+        w_expr = F.when(F.col(group_col) == g, F.lit(float(w))) \
+            .otherwise(w_expr)
+    fold = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8), 16, 10).cast("bigint"),
+        F.lit(MIX_RES))
+    n_copies = (
+        F.floor(w_expr).cast("int")
+        + (fold < (w_expr - F.floor(w_expr)) * MIX_RES).cast("int")
+    )
+    copies = F.when(n_copies >= 1,
+                    F.sequence(F.lit(1), n_copies)) \
+        .otherwise(F.array().cast("array<int>"))
+    return (
+        df.withColumn("_copies", copies)
+        .withColumn(copy_col, F.explode_outer("_copies"))
+        .where(F.col(copy_col).isNotNull())
+        .drop("_copies")
+    )
+
+
+def domain_mix_oracle_sql(weights: dict[str, float],
+                          table: str = "documents",
+                          group_col: str = "lang",
+                          id_col: str = "doc_id",
+                          salt: str = "mix:",
+                          default_weight: float = 1.0) -> str:
+    """DuckDB twin of ``domain_mix``: same md5 fold, same fractional
+    threshold. Weights go through CAST(... AS DOUBLE) so DuckDB's
+    DECIMAL literals don't out-precision Spark's double arithmetic at
+    the keep boundary (use binary-exact fractions — .5/.25/.125 steps —
+    for engine-proof determinism either way)."""
+    fold = (
+        "list_sum(list_transform(range(8), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5('{salt}' || {id_col}), "
+        "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
+        "CAST(power(16, 7 - i) AS BIGINT)))"
+    )
+    branches = " ".join(
+        f"WHEN '{g}' THEN CAST({float(w)!r} AS DOUBLE)"
+        for g, w in sorted(weights.items()))
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {group_col},
+         CASE {group_col} {branches}
+              ELSE CAST({float(default_weight)!r} AS DOUBLE) END AS w,
+         {fold} % {MIX_RES} AS f
+  FROM {table}),
+counted AS (
+  SELECT {id_col}, {group_col},
+         CAST(floor(w) AS INT)
+           + CASE WHEN f < (w - floor(w)) * {MIX_RES} THEN 1 ELSE 0 END
+           AS n_copies
+  FROM base)
+SELECT {id_col}, {group_col},
+       CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+FROM counted WHERE n_copies >= 1
+"""
+
+
 def cap_per_host_oracle_sql(urls_cte: str, max_per_host: int = 100,
                             seed: int = 42,
                             tiebreak_col: str | None = None) -> str:

@@ -100,3 +100,41 @@ def test_pipeline_runs_over_corpus_shape(spark, corpus):
     rows = out.select("url", "keep", "lang_pred", "n_redactions").collect()
     assert len(rows) == 500
     assert any(r["keep"] for r in rows)
+
+
+def test_domain_mix_fractional_epochs(spark):
+    """domain_mix: 0 drops a group, 1.25 emits 1-2 copies, 2.5 emits
+    2-3, unlisted groups default to exactly one copy; copies are
+    contiguous 1..n and the whole selection is deterministic."""
+    from pii_redactor_spark.operators.sampling import domain_mix
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"en": 0.5, "es": 2.5, "de": 1.25, "zh": 0.0}
+    out = domain_mix(docs, weights).select("doc_id", "lang", "copy")
+    rows = out.collect()
+    n_in = {r["lang"]: r["count"]
+            for r in docs.groupBy("lang").count().collect()}
+    n_out: dict[str, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        n_out[r["lang"]] = n_out.get(r["lang"], 0) + 1
+        per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert "zh" not in n_out                      # weight 0 drops all
+    assert n_out["fr"] == n_in["fr"]              # default weight 1.0
+    assert 2 * n_in["es"] <= n_out["es"] <= 3 * n_in["es"]
+    assert n_in["de"] <= n_out["de"] <= 2 * n_in["de"]
+    assert 0.3 * n_in["en"] <= n_out["en"] <= 0.7 * n_in["en"]
+    for copies in per_doc.values():               # contiguous epochs
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+    again = sorted((r["doc_id"], r["copy"]) for r in
+                   domain_mix(docs, weights)
+                   .select("doc_id", "copy").collect())
+    assert again == sorted((r["doc_id"], r["copy"]) for r in rows)
+
+
+def test_domain_mix_plan_no_shuffle(spark):
+    from pii_redactor_spark.operators.sampling import domain_mix
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (domain_mix(docs, {"en": 0.5})._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

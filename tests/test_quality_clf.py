@@ -108,3 +108,73 @@ def test_oracle_agrees_at_sf0001(spark):
     assert (sd["q_logit"].values == od["q_logit"].values).all()
     assert (sd["clf_keep"].values == od["clf_keep"].values).all()
     assert (sd["n_words"].values == od["n_words"].values).all()
+
+
+def test_nb_fit_distributed_separates(spark):
+    """One-pass NB fit over a labeled DataFrame: the corpus-scale fit
+    path. Served through the same projection, it must separate the
+    training classes and generalize to held-out probes."""
+    pos, neg = qc._positive_docs(), qc._junk_docs()
+    df = spark.createDataFrame(
+        [(i, d, True) for i, d in enumerate(pos)]
+        + [(len(pos) + i, d, False) for i, d in enumerate(neg)],
+        "doc_id long, text string, label boolean")
+    w, b = qc.fit_quality_nb(df, "label")
+    assert b == 0 and w.dtype == np.int64 and len(w) == qc.CLF_DIM
+    scores_pos = [_score_py(d, w, b) for d in pos]
+    scores_neg = [_score_py(d, w, b) for d in neg]
+    correct = sum(s > 0 for s in scores_pos) + sum(s < 0 for s in scores_neg)
+    assert correct >= 0.9 * (len(pos) + len(neg))
+    clean = _score_py(
+        "the committee reviewed the annual report and approved new "
+        "funding for local schools", w, b)
+    junk = _score_py("click click click buy free winner casino", w, b)
+    assert clean > 0 > junk
+    # serving the NB weights reuses the exact projection path
+    out = {r["doc_id"]: r["q_logit"] for r in qc.quality_clf_columns(
+        df, weights=(w, b)).collect()}
+    assert out[0] == pytest.approx(round(scores_pos[0], 6) + 0.0, abs=0)
+
+
+def test_nb_counts_conserve_words(spark):
+    """Bucket counts are sufficient statistics: per-class totals equal
+    the corpus word totals, and the aggregation is one shuffle."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumn("_label", F.col("n_chars") >= 300)
+    counts = qc.nb_bucket_counts(docs, "_label")
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "EvalPython" not in plan
+    got = counts.agg(F.sum("n_pos").alias("p"),
+                     F.sum("n_neg").alias("n")).first()
+    totals = (docs.select(
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                        lambda w: w != "")).alias("nw"), "_label")
+        .groupBy("_label").agg(F.sum("nw").alias("t")).collect())
+    exp = {r["_label"]: r["t"] for r in totals}
+    assert got["p"] == exp[True] and got["n"] == exp[False]
+
+
+def test_quality_tiers_exact_terciles(spark):
+    from pii_redactor_spark.operators.cache import release_caches
+    from pyspark.sql import functions as F
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = qc.quality_tiers(docs).collect()
+        assert len(out) == 500
+        sizes = {}
+        for r in out:
+            sizes[r["tier"]] = sizes.get(r["tier"], 0) + 1
+        # ((rn-1)*3) div 500: tail rn 1..167, middle 168..334, head 335..500
+        assert sizes == {"tail": 167, "middle": 167, "head": 166}
+        by_tier = {t: [r["q_logit"] for r in out if r["tier"] == t]
+                   for t in sizes}
+        assert max(by_tier["tail"]) <= min(by_tier["middle"])
+        assert max(by_tier["middle"]) <= min(by_tier["head"])
+        ranks = sorted(r["rn"] for r in out)
+        assert ranks == list(range(1, 501))
+        plan = (qc.quality_tiers(docs)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "SinglePartition" not in plan
+    finally:
+        release_caches()
