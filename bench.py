@@ -57,6 +57,8 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_lsh",
     "q_ann_pq",
+    "q_kmeans",
+    "q_semdedup",
     "q_host_rank",
     "q_text_embed",
     "q_decontaminate",

@@ -1377,3 +1377,29 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix(
         _t(spark, sf_dir, "documents"), MIX_WEIGHTS
     ).select("doc_id", "lang", "copy")
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means + SemDeDup (operators/clustering.py): the
+# k-means fit ann_ivf defers to "offline" (similarity.py:209-214), run
+# HERE as iters constant-size-shuffle passes with a driver-round-trip
+# centroid artifact, plus Abbas-et-al-2023 semantic dedup on the fitted
+# clusters. The oracle unrolls the fixed iteration count as chained
+# CTEs — the fit itself is bit-reproduced, not just the serving pass.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.operators import clustering as _km  # noqa: E402
+
+
+@register("q_kmeans", oracle=_km.kmeans_oracle_sql())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _km.kmeans(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_kmeans_stats", oracle=_km.kmeans_stats_oracle_sql())
+def q_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _km.kmeans_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_semdedup", oracle=_km.semdedup_oracle_sql())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _km.semdedup(_t(spark, sf_dir, "embeddings"))

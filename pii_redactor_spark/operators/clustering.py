@@ -1,0 +1,276 @@
+"""Distributed Lloyd k-means over the embedding column + SemDeDup.
+
+The reference has no vector operators at all (its "model state" is a
+DSPy prompt program, reference: optimizer.py:311-322); a training-data
+pipeline clusters embeddings constantly — as the coarse quantizer for
+IVF search (`similarity.ann_ivf` currently stands in the label means and
+defers to "k-means fitted offline", similarity.py:209-214) and as the
+partitioner for SemDeDup-style semantic deduplication (Abbas et al.
+2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication").
+
+This module closes that deferral with a Lloyd fit that is BOTH
+distributed-shaped and oracle-reproducible:
+
+- **Per-iteration shape**: assignment is a pure projection against a
+  literal centroid artifact (argmin via lexicographic `array_min` over
+  `struct<d2, cid>` — zero explode, zero window, zero Exchange; the same
+  shape the round-2 verdict demanded of the IVF assignment); the update
+  is ONE groupBy(cid) whose map-side partial aggregation reduces every
+  partition to <= k rows x dim decimal sums, so the per-iteration
+  shuffle is CONSTANT-SIZE in corpus rows. k x dim doubles cross the
+  driver per iteration — a model artifact, not data.
+- **No iterative-lineage growth**: centroids round-trip through the
+  driver between iterations (repr() round-trip preserves every bit), so
+  each iteration's plan starts fresh from the scan — the
+  dedup-components checkpointing concern does not arise by construction.
+- **Bit-reproducibility** (how a second engine replays the fit): means
+  are summed in DECIMAL(28,12) (aggregation-order-independent, so Spark
+  partial aggregation == DuckDB single-threaded fold), distances are
+  left-to-right double folds over identical literals, ties break on the
+  lowest cid, and empty clusters deterministically keep their previous
+  centroid. The oracle unrolls the fixed iteration count as chained
+  CTEs. (The PQ codebook keeps its closed-form orthant cells because its
+  256-cell codebook would need 256-way unrolled SQL per subspace; for
+  the coarse k-means here, unrolling `KM_ITERS` iterations is cheap.)
+
+Scale notes (100 TB): iters full scans + iters constant-size shuffles is
+the canonical distributed Lloyd; k grows with corpus size (SemDeDup used
+50k clusters for LAION), which only widens the literal/broadcast
+artifact — at k beyond literal-embedding size, ship the centroid table
+as a broadcast join instead (same plan shape). The SemDeDup pairwise
+step is bounded per cluster: cost is sum over clusters of |c|^2, which
+the k ~ n / const sizing keeps linear-ish; a per-cluster size cap (the
+`cap_per_host` two-phase sampler) is the guard rail for runaway
+clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.operators.cache import registered_persist
+from pii_redactor_spark.operators.similarity import (
+    EMB_DIM, _cos_sql, _d2, as_double, cosine)
+
+KM_K = 8          # coarse-quantizer size on the synthetic corpus
+KM_ITERS = 3      # fixed Lloyd iterations (unrolled in the oracle)
+SEM_TAU = 0.38    # SemDeDup cosine threshold: ~p999 of within-cluster
+                  # pairwise cosines on the synthetic embeddings
+                  # (p999 0.37, max 0.47-0.51), flagging 8-22% of
+                  # vectors as semantic dups across SFs — the paper's
+                  # operating range; per-vector dup probability is 1 -
+                  # (1-pair_rate)^|cluster|, so tune tau per corpus
+
+
+def _vecs(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+
+
+def _cents_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """The centroid artifact as ONE parsed literal
+    `array<struct<cid:int, cv:array<double>>>` — repr(float) round-trips
+    every bit, one F.expr parse instead of ~k*dim py4j literal calls
+    (see CLAUDE.md driver-side plan construction)."""
+    items = ", ".join(
+        "named_struct('cid', {cid}, 'cv', array({vals}))".format(
+            cid=int(cid),
+            vals=", ".join(f"{float(x)!r}D" for x in cv))
+        for cid, cv in cents
+    )
+    return F.expr(f"array({items})")
+
+
+def _assign(vecs: DataFrame,
+            cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, v, cid, d2): nearest centroid by squared L2, ties to the
+    lowest cid. Pure projection: per-row distances via `transform` over
+    the literal, argmin via lexicographic `array_min` on
+    struct<d2, cid>. `_best` is referenced twice below; it is non-cheap
+    and multi-referenced, so CollapseProject keeps it materialized and
+    the argmin runs once per row (the single-use `_cc` is inlined into
+    it — also evaluated once)."""
+    lit = _cents_literal(cents)
+    return (
+        vecs
+        .withColumn("_cc", F.transform(lit, lambda c: F.struct(
+            _d2(F.col("v"), c["cv"]).alias("d2"),
+            c["cid"].alias("cid"))))
+        .withColumn("_best", F.array_min("_cc"))
+        .select("vec_id", "v",
+                F.col("_best.cid").alias("cid"),
+                F.col("_best.d2").alias("d2"))
+    )
+
+
+def _seed_centroids(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """Deterministic init: the k lowest vec_ids, cid = rank 0..k-1.
+    TakeOrdered on the driver — k rows, no shuffle."""
+    rows = vecs.orderBy("vec_id").limit(k).collect()
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def _update(assigned: DataFrame, dim: int) -> list[tuple[int, list[float]]]:
+    """New centroid = per-coordinate DECIMAL mean of assigned vectors
+    (exact, hence partial-aggregation-order independent)."""
+    aggs = [
+        (F.sum(F.col("v")[i].cast("decimal(28,12)"))
+         / F.count("*")).cast("double").alias(f"c{i}")
+        for i in range(dim)
+    ]
+    rows = assigned.groupBy("cid").agg(*aggs).collect()
+    return [(int(r["cid"]), [r[f"c{i}"] for i in range(dim)]) for r in rows]
+
+
+def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+               dim: int = EMB_DIM) -> list[tuple[int, list[float]]]:
+    """Fixed-iteration distributed Lloyd; returns the final centroid
+    artifact [(cid, [dim doubles])], sorted by cid. Empty clusters keep
+    their previous centroid (deterministic; the oracle mirrors it with a
+    LEFT JOIN + COALESCE)."""
+    vecs = _vecs(emb)
+    cents = _seed_centroids(vecs, k)
+    for _ in range(iters):
+        fitted = dict((cid, cv) for cid, cv in _update(_assign(vecs, cents), dim))
+        cents = [(cid, fitted.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, cents: list[tuple[int, list[float]]]
+                  ) -> DataFrame:
+    """Final assignment against the fitted artifact:
+    (vec_id, cid:int, d2) — one more pure-projection pass."""
+    return _assign(_vecs(emb), cents).select(
+        "vec_id", F.col("cid").cast("int").alias("cid"),
+        F.round(F.col("d2"), 6).alias("d2"))
+
+
+def kmeans(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+           dim: int = EMB_DIM) -> DataFrame:
+    """Fit + assign: the `q_kmeans` surface."""
+    return kmeans_assign(emb, kmeans_fit(emb, k, iters, dim))
+
+
+def kmeans_stats(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+                 dim: int = EMB_DIM) -> DataFrame:
+    """Per-cluster size + inertia (sum of squared distances, summed in
+    DECIMAL so the shuffle order cannot move low bits):
+    (cid:int, n_members:bigint, inertia:double)."""
+    assigned = _assign(_vecs(emb), kmeans_fit(emb, k, iters, dim))
+    return (
+        assigned.groupBy(F.col("cid").cast("int").alias("cid"))
+        .agg(F.count("*").alias("n_members"),
+             F.round(F.sum(F.col("d2").cast("decimal(28,12)"))
+                     .cast("double"), 6).alias("inertia"))
+    )
+
+
+def semdedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+             tau: float = SEM_TAU, dim: int = EMB_DIM) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings, then mark a vector as a
+    semantic duplicate iff a LOWER-vec_id vector in the SAME cluster has
+    cosine >= tau (keep-lowest representative — the deterministic
+    analogue of the paper's keep-one-per-dup-group).
+
+    Shape: the pairwise join is equi on cid, so cost is bounded by the
+    per-cluster size, never all-pairs across the corpus; the assignment
+    is persisted so fit+flag reads the corpus once past assignment.
+    Output: (vec_id, cid:int, is_dup:boolean).
+    """
+    assigned = registered_persist(
+        _assign(_vecs(emb), kmeans_fit(emb, k, iters, dim))
+        .select("vec_id", F.col("cid").cast("int").alias("cid"), "v"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dups = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid"))
+               & (F.col("b.vec_id") < F.col("a.vec_id")))
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= F.lit(tau))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(F.broadcast(dups), "vec_id", "left")
+        .select("vec_id", "cid",
+                F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: the Lloyd fit unrolled as chained CTEs.
+# ---------------------------------------------------------------------------
+
+_D2_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+           "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def _kmeans_cte(table: str, k: int, iters: int, dim: int) -> str:
+    """WITH-clause prefix ending in `aout` =
+    (vec_id, v, cid, d2) — the final assignment. Mirrors kmeans_fit
+    exactly: seed = k lowest vec_ids, per-iteration argmin (d2 ASC,
+    cid ASC) + DECIMAL means, empty clusters keep the previous
+    centroid via LEFT JOIN + COALESCE."""
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE)"
+        for i in range(dim))
+    parts = [
+        ("vecs AS (SELECT vec_id, list_transform(embedding, "
+         f"x -> CAST(x AS DOUBLE)) AS v FROM {table})"),
+        ("c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)"
+         " AS cid, v AS cv FROM (SELECT vec_id, v FROM vecs"
+         f" ORDER BY vec_id LIMIT {k}))"),
+    ]
+    d2 = _D2_SQL.format(a="vecs.v", b="cv")
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vecs.vec_id, vecs.v, c{t - 1}.cid,
+           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+             ORDER BY {d2} ASC, c{t - 1}.cid ASC) AS rn
+    FROM vecs CROSS JOIN c{t - 1}) WHERE rn = 1)""")
+        parts.append(f"""c{t} AS (
+  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cid, [{mean_cols}] AS cv FROM a{t} GROUP BY cid) m
+  USING (cid))""")
+    parts.append(f"""aout AS (
+  SELECT vec_id, v, cid, d2 FROM (
+    SELECT vecs.vec_id, vecs.v, c{iters}.cid, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+             ORDER BY {d2} ASC, c{iters}.cid ASC) AS rn
+    FROM vecs CROSS JOIN c{iters}) WHERE rn = 1)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def kmeans_oracle_sql(table: str = "embeddings", k: int = KM_K,
+                      iters: int = KM_ITERS, dim: int = EMB_DIM) -> str:
+    return f"""
+{_kmeans_cte(table, k, iters, dim)}
+SELECT vec_id, CAST(cid AS INT) AS cid, round(d2, 6) AS d2 FROM aout
+"""
+
+
+def kmeans_stats_oracle_sql(table: str = "embeddings", k: int = KM_K,
+                            iters: int = KM_ITERS, dim: int = EMB_DIM) -> str:
+    return f"""
+{_kmeans_cte(table, k, iters, dim)}
+SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_members,
+       round(CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 6) AS inertia
+FROM aout GROUP BY cid
+"""
+
+
+def semdedup_oracle_sql(table: str = "embeddings", k: int = KM_K,
+                        iters: int = KM_ITERS, tau: float = SEM_TAU,
+                        dim: int = EMB_DIM) -> str:
+    return f"""
+{_kmeans_cte(table, k, iters, dim)},
+dups AS (
+  SELECT DISTINCT a.vec_id FROM aout a JOIN aout b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {tau!r})
+SELECT aout.vec_id, CAST(aout.cid AS INT) AS cid,
+       (dups.vec_id IS NOT NULL) AS is_dup
+FROM aout LEFT JOIN dups ON aout.vec_id = dups.vec_id
+"""

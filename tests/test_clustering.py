@@ -1,0 +1,138 @@
+"""Distributed Lloyd k-means + SemDeDup (operators/clustering.py):
+semantic correctness vs a numpy replica of the same fixed-iteration fit,
+plus the plan-shape properties that make the fit viable at 100 TB
+(projection-only assignment, constant-size update shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.operators import clustering as km
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _numpy_lloyd(vecs: dict[int, np.ndarray], k: int, iters: int):
+    """Reference Lloyd with the same determinism contract: seed = k
+    lowest vec_ids, argmin ties to the lowest cid, empty clusters keep
+    the previous centroid. float64 means (close enough to the decimal
+    means for assignment comparison on this data)."""
+    ids = sorted(vecs)
+    cents = {i: vecs[vid].copy() for i, vid in enumerate(ids[:k])}
+
+    def assign():
+        out = {}
+        for vid in ids:
+            d2 = {c: float(np.sum((vecs[vid] - cv) ** 2))
+                  for c, cv in cents.items()}
+            out[vid] = min(d2, key=lambda c: (d2[c], c))
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        for c in cents:
+            members = [vecs[v] for v, cc in a.items() if cc == c]
+            if members:
+                cents[c] = np.mean(members, axis=0)
+    return assign(), cents
+
+
+def test_kmeans_matches_numpy_lloyd(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    expect, _ = _numpy_lloyd(vecs, km.KM_K, km.KM_ITERS)
+    got = {r["vec_id"]: r["cid"] for r in km.kmeans(emb).collect()}
+    assert got == expect
+
+
+def test_kmeans_stats_partition_corpus(emb):
+    n = emb.count()
+    stats = km.kmeans_stats(emb).collect()
+    assert sum(r["n_members"] for r in stats) == n
+    assert len(stats) <= km.KM_K
+    assert all(r["inertia"] >= 0 for r in stats)
+
+
+def test_kmeans_iterations_reduce_inertia(emb):
+    """Lloyd's monotonicity on the real fit (decimal means)."""
+    def inertia(iters):
+        assigned = km.kmeans_assign(emb, km.kmeans_fit(emb, iters=iters))
+        return assigned.agg(F.sum("d2")).collect()[0][0]
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1
+
+
+def test_semdedup_keeps_lowest_representative(emb):
+    """The lowest vec_id in every cluster can have no lower-id partner,
+    so it is never flagged; flags reproduce a brute-force numpy check."""
+    out = km.semdedup(emb).collect()
+    lowest = {}
+    for r in out:
+        if r["cid"] not in lowest or r["vec_id"] < lowest[r["cid"]]:
+            lowest[r["cid"]] = r["vec_id"]
+    flags = {r["vec_id"]: r["is_dup"] for r in out}
+    assert all(not flags[v] for v in lowest.values())
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    cid = {r["vec_id"]: r["cid"] for r in out}
+    for r in out[:50]:
+        vid = r["vec_id"]
+        peers = [b for b in vecs
+                 if cid[b] == cid[vid] and b < vid]
+        v = vecs[vid]
+        is_dup = any(
+            float(v @ vecs[b] /
+                  (np.linalg.norm(v) * np.linalg.norm(vecs[b])))
+            >= km.SEM_TAU for b in peers)
+        assert r["is_dup"] == is_dup, vid
+    n_dups = sum(1 for r in out if r["is_dup"])
+    assert 0 < n_dups < len(out)
+
+
+def test_kmeans_assignment_plan_projection_only(emb):
+    """The scale contract: assignment = pure projection against the
+    literal artifact — argmin evaluated ONCE per row (CollapseProject
+    must not duplicate the non-cheap `_best`), zero Exchange, zero
+    window, zero explode."""
+    plan = km.kmeans(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_min") == 1
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+
+
+def test_kmeans_update_shuffle_is_constant_size(emb):
+    """The per-iteration update aggregates BEFORE the exchange
+    (partial_ prefix on the map side), so <= k rows per partition cross
+    the wire regardless of corpus size."""
+    cents = km._seed_centroids(km._vecs(emb), km.KM_K)
+    assigned = km._assign(km._vecs(emb), cents)
+    aggs = [
+        (F.sum(F.col("v")[i].cast("decimal(28,12)"))
+         / F.count("*")).cast("double").alias(f"c{i}")
+        for i in range(4)
+    ]
+    plan = (assigned.groupBy("cid").agg(*aggs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial" in plan.lower()
+    assert plan.count("Exchange") == 1
+
+
+def test_semdedup_pairwise_is_cluster_bounded(emb):
+    """The pairwise join must be EQUI on cid (SortMergeJoin/
+    ShuffledHashJoin keyed on the cluster), never a nested-loop
+    all-pairs across clusters."""
+    plan = km.semdedup(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "cid" in plan
