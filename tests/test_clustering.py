@@ -130,9 +130,24 @@ def test_kmeans_update_shuffle_is_constant_size(emb):
 
 
 def test_semdedup_pairwise_is_cluster_bounded(emb):
-    """The pairwise join must be EQUI on cid (SortMergeJoin/
-    ShuffledHashJoin keyed on the cluster), never a nested-loop
-    all-pairs across clusters."""
+    """Pairwise work must stay within clusters: the Arrow path is ONE
+    grouped pass keyed on cid (no nested-loop across clusters), the
+    expression path an equi-join on cid."""
     plan = km.semdedup(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "cid" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    expr_plan = (km.semdedup(emb, arrow=False)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in expr_plan
+
+
+def test_semdedup_arrow_matches_expression(emb):
+    """The vertical-fold numpy cosine must reproduce the expression/
+    oracle fold row-for-row (same left-to-right double arithmetic)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    a = {(r["vec_id"], r["cid"], r["is_dup"])
+         for r in km.semdedup(emb, arrow=True).collect()}
+    b = {(r["vec_id"], r["cid"], r["is_dup"])
+         for r in km.semdedup(emb, arrow=False).collect()}
+    release_caches()
+    assert a == b
