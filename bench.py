@@ -62,6 +62,7 @@ HEADLINE = [
     "q_host_rank",
     "q_text_embed",
     "q_decontaminate",
+    "q_dsir",
     "q_split_hash",
     "q_worstk_ppl",
     "q_pipeline_full",

@@ -1403,3 +1403,18 @@ def q_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_semdedup", oracle=_km.semdedup_oracle_sql())
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km.semdedup(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (operators/dsir.py, Xie et al. 2023): hashed-LM
+# importance-ratio scoring (target = seed-corpora artifact, raw = one
+# distributed corpus aggregation) with an exact BIGINT score fold and a
+# TakeOrdered top-fraction cut — the published "make the crawl look
+# like the target domain" selection pass.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.operators import dsir as _dsir  # noqa: E402
+
+
+@register("q_dsir", oracle=_dsir.dsir_oracle_sql())
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir.dsir_select(_t(spark, sf_dir, "documents"))

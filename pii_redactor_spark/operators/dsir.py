@@ -1,0 +1,209 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+The reference repo selects its few-shot training set by hand-picked ids
+(reference: examples.py:5-31); a web-scale pretraining pipeline selects
+by DISTRIBUTION MATCH: score every candidate document with the
+log-likelihood ratio between a hashed n-gram LM of the TARGET domain
+(curated seed text) and one of the RAW corpus, then keep the
+top-weighted fraction. This is the standard published recipe for
+"make Common Crawl look like Wikipedia/books" selection.
+
+Engine-reproducible formulation (the same discipline as the quality
+classifier, kernels/quality_clf.py):
+
+- **Target LM** = hashed-unigram counts over the embedded seed corpora,
+  computed driver-side once and shipped as a 6-decimal-quantized BIGINT
+  log-prob literal — a model artifact, embedded identically in the
+  Spark plan and the DuckDB oracle (VALUES table).
+- **Raw LM** = the distributed part: ONE aggregation over the corpus
+  (explode words -> md5 bucket -> count), map-side partials, state
+  bounded by the hash dimension; collected as a <= dim-row table. Its
+  quantized log-probs use ``floor(ln(q) * 1e6 + 0.5)`` with the SAME
+  double arithmetic on both engines (Python ``math.log`` and DuckDB
+  ``ln`` both bind libm; the smoothed ratio is built with the same
+  casts), so the per-bucket BIGINT log-ratio matrix is identical.
+- **Score** = per-document SUM of bucket log-ratios — an exact BIGINT
+  fold (zero float accumulation), i.e. log of the importance weight,
+  unnormalized by length exactly as in the paper.
+- **Selection** = top ``DSIR_FRAC`` by (score DESC, doc_id ASC): the
+  boundary is ONE TakeOrderedAndProject over a two-field struct (the
+  ``kth_smallest`` pattern, ranking.py) and the keep flag a pure literal
+  comparison — no global window, zero shuffles in the main plan.
+
+The paper perturbs scores with Gumbel noise to sample WITHOUT
+replacement instead of taking the deterministic top-k; that variant
+plugs a per-doc md5-seeded ``-ln(-ln(u))`` column into the same
+threshold cut. The deterministic top-k is what's oracle-gated here.
+
+Scale: the scoring pass is projection + one dim-bounded aggregate; at
+10^12 docs the raw-LM fit amortizes over the corpus scan and the
+selection needs only the boundary value — nothing driver-side grows
+with corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.functions.rules import words_col
+from pii_redactor_spark.kernels.quality_clf import (
+    CLF_DIM, _bucket_expr, _positive_docs, bucket_of)
+
+DSIR_DIM = CLF_DIM       # share the hashed feature space (512 buckets)
+DSIR_ALPHA = 0.5         # Lidstone smoothing, both LMs
+DSIR_FRAC = 0.25         # keep fraction
+_SCALE = 1_000_000
+
+# DuckDB twin of _bucket_expr's md5 fold (same string as
+# kernels/quality_clf.py oracle builders).
+_FOLD_SQL = (
+    "list_sum(list_transform(range(8), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('qc:' || lower(w)), "
+    "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
+    "CAST(power(16, 7 - i) AS BIGINT)))"
+)
+_WORDS_SQL = (
+    "list_filter(string_split_regex(trim({t}), '\\s+'), w -> w <> '')"
+)
+
+
+def _qlog(num: float, den: float) -> int:
+    """floor(ln(num/den) * 1e6 + 0.5) — the one float step, mirrored
+    bit-for-bit by DuckDB's ln/floor on the same doubles."""
+    return int(math.floor(math.log(num / den) * _SCALE + 0.5))
+
+
+@lru_cache(maxsize=1)
+def target_logprobs(dim: int = DSIR_DIM) -> tuple[int, ...]:
+    """Quantized BIGINT log-probs of the target LM (seed corpora) —
+    the shipped model artifact."""
+    counts: Counter[int] = Counter()
+    for doc in _positive_docs():
+        for w in doc.split():
+            counts[bucket_of(w, dim)] += 1
+    total = sum(counts.values())
+    den = float(total) + DSIR_ALPHA * dim
+    return tuple(
+        _qlog(float(counts.get(b, 0)) + DSIR_ALPHA, den) for b in range(dim))
+
+
+def raw_logprobs(docs: DataFrame, text_col: str = "text",
+                 dim: int = DSIR_DIM) -> list[int]:
+    """Quantized log-probs of the RAW corpus LM: the distributed fit —
+    one explode + groupBy(bucket) count (map-side partials, <= dim
+    groups), collected as a tiny table; quantization driver-side with
+    the same arithmetic the oracle runs in SQL."""
+    rows = (
+        docs
+        .select(F.explode_outer(words_col(F.col(text_col))).alias("w"))
+        .where(F.col("w").isNotNull())
+        .select(_bucket_expr(F.col("w"), dim).alias("bucket"))
+        .groupBy("bucket").count()
+        .collect()
+    )
+    counts = {int(r["bucket"]): int(r["count"]) for r in rows}
+    total = sum(counts.values())
+    den = float(total) + DSIR_ALPHA * dim
+    return [
+        _qlog(float(counts.get(b, 0)) + DSIR_ALPHA, den) for b in range(dim)]
+
+
+def dsir_select(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", frac: float = DSIR_FRAC,
+                dim: int = DSIR_DIM) -> DataFrame:
+    """(doc_id, n_words, dsir_logw, selected): exact BIGINT log-ratio
+    score per document + deterministic top-``frac`` cut."""
+    lt = target_logprobs(dim)
+    lq = raw_logprobs(docs, text_col, dim)
+    lr = [lt[b] - lq[b] for b in range(dim)]
+    lr_lit = F.expr("array({})".format(",".join(f"{v}L" for v in lr)))
+
+    scored = (
+        docs
+        .withColumn("_words", words_col(F.col(text_col)))
+        .withColumn("_buckets", F.transform(
+            F.col("_words"), lambda w: _bucket_expr(w, dim)))
+        .withColumn("_s", F.aggregate(
+            F.col("_buckets"), F.lit(0).cast("bigint"),
+            lambda acc, bk: acc + F.element_at(lr_lit, bk + 1)))
+        .select(id_col, F.size("_buckets").alias("n_words"),
+                F.col("_s").alias("_s"))
+    )
+    # top-frac boundary: k-th largest (score, then doc_id) via ONE
+    # TakeOrderedAndProject on the negated-score struct (kth_smallest
+    # pattern) — the selection itself is a pure literal comparison
+    n = docs.count()
+    k = (n * int(round(frac * 100))) // 100
+    sel = F.lit(False)
+    if k > 0:
+        thr = (
+            scored.select(F.struct(
+                (-F.col("_s")).alias("ns"),
+                F.col(id_col).cast("bigint").alias("id")).alias("o"))
+            .orderBy("o").limit(k)
+            .agg(F.max("o").alias("o")).first()["o"]
+        )
+        if thr is not None:
+            sel = (
+                F.struct((-F.col("_s")).alias("ns"),
+                         F.col(id_col).cast("bigint").alias("id"))
+                <= F.struct(F.lit(int(thr["ns"])).cast("bigint").alias("ns"),
+                            F.lit(int(thr["id"])).cast("bigint").alias("id"))
+            )
+    return scored.select(
+        id_col, "n_words",
+        F.round(F.col("_s").cast("double") / _SCALE, 6).alias("dsir_logw"),
+        sel.alias("selected"),
+    )
+
+
+def dsir_oracle_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id", frac: float = DSIR_FRAC,
+                    dim: int = DSIR_DIM) -> str:
+    """DuckDB twin: target log-probs as a VALUES artifact, raw LM
+    re-fitted IN SQL with the same smoothing/quantization arithmetic,
+    exact BIGINT sum per doc, ROW_NUMBER top-frac (equivalent to the
+    struct-threshold cut under the (score, id) total order)."""
+    lt = target_logprobs(dim)
+    lt_rows = ", ".join(f"({b}, {v})" for b, v in enumerate(lt))
+    words = _WORDS_SQL.format(t=text_col)
+    pct = int(round(frac * 100))
+    return f"""
+WITH lt(bucket, lp) AS (VALUES {lt_rows}),
+base AS (
+  SELECT {id_col}, {words} AS ws FROM {table}),
+perword AS (
+  SELECT {id_col}, CAST({_FOLD_SQL} % {dim} AS INT) AS bucket
+  FROM (SELECT {id_col}, unnest(ws) AS w FROM base)),
+rawc AS (
+  SELECT bucket, COUNT(*) AS c FROM perword GROUP BY bucket),
+tot AS (SELECT COUNT(*) AS t FROM perword),
+lq AS (
+  SELECT bucket,
+         CAST(floor(ln((CAST(c AS DOUBLE) + {DSIR_ALPHA!r}) /
+                       (CAST(t AS DOUBLE) + {DSIR_ALPHA * dim!r}))
+                    * {_SCALE} + 0.5) AS BIGINT) AS lp
+  FROM rawc, tot),
+contrib AS (
+  SELECT p.{id_col}, SUM(lt.lp - lq.lp) AS s
+  FROM perword p JOIN lt USING (bucket) JOIN lq USING (bucket)
+  GROUP BY p.{id_col}),
+scored AS (
+  SELECT b.{id_col}, len(b.ws) AS n_words,
+         COALESCE(c.s, 0) AS s
+  FROM base b LEFT JOIN contrib c USING ({id_col})),
+ranked AS (
+  SELECT {id_col}, n_words, s,
+         ROW_NUMBER() OVER (ORDER BY s DESC, {id_col} ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored)
+SELECT {id_col}, CAST(n_words AS INT) AS n_words,
+       round(CAST(s AS DOUBLE) / {_SCALE}, 6) AS dsir_logw,
+       rn <= (n * {pct}) // 100 AS selected
+FROM ranked
+"""
