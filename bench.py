@@ -64,6 +64,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_dsir",
     "q_split_hash",
+    "q_pack",
     "q_worstk_ppl",
     "q_pipeline_full",
 ]

@@ -1418,3 +1418,56 @@ from pii_redactor_spark.operators import dsir as _dsir  # noqa: E402
 @register("q_dsir", oracle=_dsir.dsir_oracle_sql())
 def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir.dsir_select(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk): assign every document its byte
+# position in the concatenated token stream and the fixed-size training
+# sequence(s) it lands in — the standard pretraining batch-prep step.
+# The global running sum uses ranking.global_prefix_sum (bounded
+# two-phase prefix scan, never Exchange SinglePartition).
+# ---------------------------------------------------------------------------
+SEQ_TOKENS = 2048
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens
+      FROM documents),
+    pre AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM toks)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start_off,
+           start_off // {SEQ_TOKENS} AS seq_idx,
+           CASE WHEN n_tokens > 0 THEN
+             (start_off + n_tokens - 1) // {SEQ_TOKENS}
+               - start_off // {SEQ_TOKENS} + 1
+           ELSE 0 END AS n_seqs
+    FROM pre
+    """,
+)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.operators.ranking import global_prefix_sum
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(_BPE_RE), 0)).alias("n_tokens"))
+    pre = global_prefix_sum(toks, "doc_id", "n_tokens",
+                            sum_name="start_off")
+    b = SEQ_TOKENS
+    return pre.select(
+        "doc_id", "n_tokens", "start_off",
+        F.expr(f"start_off div {b}").alias("seq_idx"),
+        F.when(F.col("n_tokens") > 0,
+               F.expr(f"(start_off + n_tokens - 1) div {b}")
+               - F.expr(f"start_off div {b}") + F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
+    )

@@ -212,3 +212,54 @@ def group_row_number(df: DataFrame, group_col: str, order_col: str,
         extra_order_cols=extra_order_cols, num_buckets=num_buckets,
         rn_name=rn_name, seed=seed)
     return cold_ranked.unionByName(hot_ranked)
+
+
+def global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
+                      extra_order_cols: tuple[str, ...] = (),
+                      num_buckets: int | None = None,
+                      sum_name: str = "prefix_sum",
+                      seed: int = 42) -> DataFrame:
+    """EXCLUSIVE global running sum of ``value_col`` in (order_col,
+    *extra_order_cols) order — ``SUM(value) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` without the ``Exchange
+    SinglePartition`` that formulation plans as.
+
+    Same two-phase scheme as ``global_row_number``: literal range-bucket
+    boundaries from one sample, per-bucket value SUMS collected (one
+    tiny aggregate — |buckets| rows), cumulative bucket offsets computed
+    driver-side and broadcast, the within-bucket running sum a BOUNDED
+    window. Exact for integral ``value_col`` (bigint arithmetic
+    end-to-end); the order must be a total order for cross-engine
+    determinism. This is the distributed prefix-scan primitive behind
+    sequence packing (concat-then-chunk into fixed token budgets).
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = _boundaries(df, order_col, num_buckets, seed)
+    bucket = _bucket_expr(order_col, bounds)
+
+    sums = (
+        df.select(bucket.alias("_bucket"),
+                  F.col(value_col).cast("bigint").alias("_v"))
+        .groupBy("_bucket").agg(F.sum("_v").alias("s"))
+        .collect()
+    )
+    sums.sort(key=lambda r: r["_bucket"])
+    offsets, running = [], 0
+    for r in sums:
+        offsets.append((r["_bucket"], running))
+        running += int(r["s"])
+    off_df = spark.createDataFrame(offsets, "_bucket int, _off long")
+
+    w = (Window.partitionBy("_bucket")
+         .orderBy(order_col, *extra_order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(
+        F.sum(F.col(value_col).cast("bigint")).over(w), F.lit(0))
+    return (
+        df.withColumn("_bucket", bucket)
+        .join(F.broadcast(off_df), ["_bucket"])
+        .withColumn(sum_name, local + F.col("_off"))
+        .drop("_bucket", "_off")
+    )

@@ -1,0 +1,64 @@
+"""Sequence packing + the bounded global prefix-sum primitive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pii_redactor_spark.operators.ranking import global_prefix_sum
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _toks(docs):
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("text"),
+            F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).alias("n"))
+
+
+def test_prefix_sum_matches_single_window(docs):
+    toks = _toks(docs)
+    got = {r["doc_id"]: r["ps"]
+           for r in global_prefix_sum(toks, "doc_id", "n",
+                                      sum_name="ps").collect()}
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = {r["doc_id"]: r["ps"] for r in toks.withColumn(
+        "ps", F.coalesce(F.sum("n").over(w), F.lit(0))).collect()}
+    assert got == want
+
+
+def test_prefix_sum_plan_never_single_partition(docs):
+    plan = (global_prefix_sum(_toks(docs), "doc_id", "n")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # tiny offsets table broadcast
+
+
+def test_pack_covers_token_stream_exactly(spark):
+    from pii_redactor_spark.contract import QUERIES, SEQ_TOKENS
+    out = sorted(QUERIES["q_pack"](spark, SF).collect(),
+                 key=lambda r: r["doc_id"])
+    # offsets are contiguous: each doc starts where the previous ended
+    run = 0
+    for r in out:
+        assert r["start_off"] == run
+        run += r["n_tokens"]
+        assert r["seq_idx"] == r["start_off"] // SEQ_TOKENS
+        if r["n_tokens"] > 0:
+            last = r["start_off"] + r["n_tokens"] - 1
+            assert r["n_seqs"] == last // SEQ_TOKENS - r["seq_idx"] + 1
+    # every sequence index up to the last is inhabited (chunking leaves
+    # no empty training sequences)
+    seqs = set()
+    for r in out:
+        seqs.update(range(r["seq_idx"], r["seq_idx"] + max(r["n_seqs"], 1)))
+    assert seqs == set(range(max(seqs) + 1))
