@@ -1455,11 +1455,14 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     """,
 )
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.operators.cache import registered_persist
     from pii_redactor_spark.operators.ranking import global_prefix_sum
-    toks = _t(spark, sf_dir, "documents").select(
+    # persisted: the regex tokenization is the dominant cost and would
+    # otherwise run twice (prefix-sum bucket-sums job + final plan)
+    toks = registered_persist(_t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.regexp_extract_all(
-            F.col("text"), F.lit(_BPE_RE), 0)).alias("n_tokens"))
+            F.col("text"), F.lit(_BPE_RE), 0)).alias("n_tokens")))
     pre = global_prefix_sum(toks, "doc_id", "n_tokens",
                             sum_name="start_off")
     b = SEQ_TOKENS

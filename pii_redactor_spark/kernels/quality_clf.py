@@ -203,6 +203,17 @@ def _bucket_expr(word: Column, dim: int) -> Column:
                   F.lit(dim)).cast("int")
 
 
+# DuckDB twin of _bucket_expr's first-8-hex-chars md5 fold (the strpos
+# fold over `w`) — the ONE copy every oracle builder that buckets words
+# must use (a stale duplicate silently breaks oracle parity).
+FOLD_SQL = (
+    "list_sum(list_transform(range(8), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('qc:' || lower(w)), "
+    "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
+    "CAST(power(16, 7 - i) AS BIGINT)))"
+)
+
+
 def quality_clf_columns(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = CLF_THRESHOLD,
@@ -355,12 +366,7 @@ def quality_clf_oracle_sql(table: str = "documents",
     dim = len(w_scaled)
     bias = b_scaled / _SCALE
     words = _WORDS_SQL.format(t=text_col)
-    fold = (
-        "list_sum(list_transform(range(8), i -> "
-        "CAST(strpos('0123456789abcdef', substr(md5('qc:' || lower(w)), "
-        "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
-        "CAST(power(16, 7 - i) AS BIGINT)))"
-    )
+    fold = FOLD_SQL
     wt_rows = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(w_scaled))
     return f"""
 WITH wt(bucket, wgt) AS (VALUES {wt_rows}),
@@ -394,12 +400,7 @@ def nb_counts_oracle_sql(label_sql: str, table: str = "documents",
     ``label_sql`` is a boolean expression over ``table``'s columns."""
     from pii_redactor_spark.operators.dedup import _WORDS_SQL
     words = _WORDS_SQL.format(t=text_col)
-    fold = (
-        "list_sum(list_transform(range(8), i -> "
-        "CAST(strpos('0123456789abcdef', substr(md5('qc:' || lower(w)), "
-        "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
-        "CAST(power(16, 7 - i) AS BIGINT)))"
-    )
+    fold = FOLD_SQL
     return f"""
 WITH base AS (
   SELECT ({label_sql}) AS y, {words} AS ws FROM {table}),

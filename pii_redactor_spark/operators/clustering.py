@@ -136,6 +136,12 @@ def _update(assigned: DataFrame, dim: int) -> list[tuple[int, list[float]]]:
     out: dict[int, dict[int, float]] = {}
     for r in rows:
         out.setdefault(int(r["cid"]), {})[int(r["pos"])] = r["c"]
+    for cid, d in out.items():
+        if len(d) != dim:
+            raise ValueError(
+                f"cluster {cid}: embedding coordinates missing/null at "
+                f"{dim - len(d)} of {dim} positions — ragged or null "
+                "vectors are not supported by the k-means fit")
     return [(cid, [d[i] for i in range(dim)]) for cid, d in sorted(out.items())]
 
 
@@ -204,8 +210,12 @@ def _semdedup_flags_arrow(assigned: DataFrame, tau: float) -> DataFrame:
             D += np.outer(col, col)
             s += col * col
         norm = np.sqrt(s)
-        C = D / np.outer(norm, norm)
-        dup = np.tril(C >= tau, -1).any(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            C = D / np.outer(norm, norm)
+        # Spark and DuckDB both order NaN ABOVE every number, so the
+        # expression/oracle path flags a 0/0 cosine (zero-norm vector)
+        # as >= tau; mirror that here instead of numpy's NaN>=x = False
+        dup = np.tril((C >= tau) | np.isnan(C), -1).any(axis=1)
         return pd.DataFrame({"vec_id": pdf["vec_id"],
                              "cid": pdf["cid"],
                              "is_dup": dup})

@@ -52,24 +52,15 @@ from pyspark.sql import functions as F
 
 from pii_redactor_spark.functions.rules import words_col
 from pii_redactor_spark.kernels.quality_clf import (
-    CLF_DIM, _bucket_expr, _positive_docs, bucket_of)
+    CLF_DIM, FOLD_SQL as _FOLD_SQL, _bucket_expr, _positive_docs,
+    bucket_of)
+from pii_redactor_spark.operators.cache import registered_persist
+from pii_redactor_spark.operators.dedup import _WORDS_SQL
 
 DSIR_DIM = CLF_DIM       # share the hashed feature space (512 buckets)
 DSIR_ALPHA = 0.5         # Lidstone smoothing, both LMs
 DSIR_FRAC = 0.25         # keep fraction
 _SCALE = 1_000_000
-
-# DuckDB twin of _bucket_expr's md5 fold (same string as
-# kernels/quality_clf.py oracle builders).
-_FOLD_SQL = (
-    "list_sum(list_transform(range(8), i -> "
-    "CAST(strpos('0123456789abcdef', substr(md5('qc:' || lower(w)), "
-    "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
-    "CAST(power(16, 7 - i) AS BIGINT)))"
-)
-_WORDS_SQL = (
-    "list_filter(string_split_regex(trim({t}), '\\s+'), w -> w <> '')"
-)
 
 
 def _qlog(num: float, den: float) -> int:
@@ -123,7 +114,11 @@ def dsir_select(docs: DataFrame, text_col: str = "text",
     lr = [lt[b] - lq[b] for b in range(dim)]
     lr_lit = F.expr("array({})".format(",".join(f"{v}L" for v in lr)))
 
-    scored = (
+    # persisted: the per-word md5 scoring fold (the expensive part of
+    # the plan) runs once — the threshold job and the final projection
+    # both read the materialized scores (quality_tiers precedent;
+    # released per query by check_contract/bench via release_caches)
+    scored = registered_persist(
         docs
         .withColumn("_words", words_col(F.col(text_col)))
         .withColumn("_buckets", F.transform(
@@ -134,9 +129,11 @@ def dsir_select(docs: DataFrame, text_col: str = "text",
         .select(id_col, F.size("_buckets").alias("n_words"),
                 F.col("_s").alias("_s"))
     )
-    # top-frac boundary: k-th largest (score, then doc_id) via ONE
+    # top-frac boundary: k-th largest (score, then id) via ONE
     # TakeOrderedAndProject on the negated-score struct (kth_smallest
-    # pattern) — the selection itself is a pure literal comparison
+    # pattern) — the selection itself is a pure literal comparison.
+    # The id keeps its own type (numeric or string) — (score, id) must
+    # be a total order, which unique ids guarantee.
     n = docs.count()
     k = (n * int(round(frac * 100))) // 100
     sel = F.lit(False)
@@ -144,16 +141,16 @@ def dsir_select(docs: DataFrame, text_col: str = "text",
         thr = (
             scored.select(F.struct(
                 (-F.col("_s")).alias("ns"),
-                F.col(id_col).cast("bigint").alias("id")).alias("o"))
+                F.col(id_col).alias("id")).alias("o"))
             .orderBy("o").limit(k)
             .agg(F.max("o").alias("o")).first()["o"]
         )
         if thr is not None:
             sel = (
                 F.struct((-F.col("_s")).alias("ns"),
-                         F.col(id_col).cast("bigint").alias("id"))
-                <= F.struct(F.lit(int(thr["ns"])).cast("bigint").alias("ns"),
-                            F.lit(int(thr["id"])).cast("bigint").alias("id"))
+                         F.col(id_col).alias("id"))
+                <= F.struct(F.lit(thr["ns"]).cast("bigint").alias("ns"),
+                            F.lit(thr["id"]).alias("id"))
             )
     return scored.select(
         id_col, "n_words",

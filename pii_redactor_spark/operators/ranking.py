@@ -249,7 +249,9 @@ def global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     offsets, running = [], 0
     for r in sums:
         offsets.append((r["_bucket"], running))
-        running += int(r["s"])
+        # an all-NULL bucket sums to NULL; NULLs contribute 0 to the
+        # within-bucket window sum too, so both phases agree
+        running += int(r["s"]) if r["s"] is not None else 0
     off_df = spark.createDataFrame(offsets, "_bucket int, _off long")
 
     w = (Window.partitionBy("_bucket")

@@ -57,8 +57,9 @@ def test_pack_covers_token_stream_exactly(spark):
             last = r["start_off"] + r["n_tokens"] - 1
             assert r["n_seqs"] == last // SEQ_TOKENS - r["seq_idx"] + 1
     # every sequence index up to the last is inhabited (chunking leaves
-    # no empty training sequences)
+    # no empty training sequences) — only token-bearing docs count
     seqs = set()
     for r in out:
-        seqs.update(range(r["seq_idx"], r["seq_idx"] + max(r["n_seqs"], 1)))
+        if r["n_tokens"] > 0:
+            seqs.update(range(r["seq_idx"], r["seq_idx"] + r["n_seqs"]))
     assert seqs == set(range(max(seqs) + 1))
