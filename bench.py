@@ -65,6 +65,7 @@ HEADLINE = [
     "q_dsir",
     "q_split_hash",
     "q_pack",
+    "q_url_dedup",
     "q_worstk_ppl",
     "q_pipeline_full",
 ]

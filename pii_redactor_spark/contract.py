@@ -1474,3 +1474,66 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                - F.expr(f"start_off div {b}") + F.lit(1))
         .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup: crawls re-fetch the same page under trailing
+# slashes, host-case, query-string and fragment variants; canonicalize
+# (functions/url_rules.py — parity proven by q_url_filter) then exact
+# dedup on the canonical form, keep-lowest-doc_id representative. One
+# shuffle on the canonical key (the same hash-groupBy shape as
+# q_dedup_exact).
+# ---------------------------------------------------------------------------
+_URL_DUP_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'https://news.example/story/' || (doc_id // 4)
+  WHEN 1 THEN 'HTTPS://News.Example/story/' || (doc_id // 4) || '/'
+  WHEN 2 THEN 'https://news.example/story/' || (doc_id // 4) || '?utm_source=feed'
+  ELSE 'https://news.example/story/' || (doc_id // 4) || '#top'
+END
+"""
+
+
+@register(
+    "q_url_dedup",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id, {_URL_DUP_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme
+      FROM urls),
+    canon AS (
+      SELECT doc_id, scheme || '://' || host ||
+        CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(path, '/+$', '') END AS canonical
+      FROM parts)
+    SELECT doc_id, canonical,
+           MIN(doc_id) OVER (PARTITION BY canonical) AS rep_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY canonical) AS is_dup
+    FROM canon
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.functions.url_rules import canonical_url
+    # Spark twin of _URL_DUP_SQL (DuckDB `//` == Spark `div` on bigints)
+    spark_case = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'https://news.example/story/' || (doc_id div 4)
+      WHEN 1 THEN 'HTTPS://News.Example/story/' || (doc_id div 4) || '/'
+      WHEN 2 THEN 'https://news.example/story/' || (doc_id div 4) || '?utm_source=feed'
+      ELSE 'https://news.example/story/' || (doc_id div 4) || '#top'
+    END
+    """
+    canon = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(spark_case).alias("url"))
+        .select("doc_id", canonical_url("url").alias("canonical"))
+    )
+    reps = canon.groupBy("canonical").agg(F.min("doc_id").alias("rep_id"))
+    return (
+        canon.join(reps, "canonical")
+        .select("doc_id", "canonical", "rep_id",
+                (F.col("doc_id") != F.col("rep_id")).alias("is_dup"))
+    )

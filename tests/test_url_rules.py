@@ -53,3 +53,21 @@ def test_reasons_named(results):
     assert results["https://blocked.example/page/1"]["url_reasons"] == [
         "blocked_host"]
     assert "no_host" in results["not-a-url"]["url_reasons"]
+
+
+def test_url_dedup_collapses_canonical_variants(spark):
+    """q_url_dedup: the four crawl variants of a page (host case,
+    trailing slash, query string, fragment) share a canonical form —
+    groups of four collapse to the lowest doc_id, which is never
+    flagged as a duplicate."""
+    from pii_redactor_spark.contract import QUERIES
+    out = QUERIES["q_url_dedup"](spark, "/root/testdata/sf0.001").collect()
+    by_canon: dict[str, list] = {}
+    for r in out:
+        by_canon.setdefault(r["canonical"], []).append(r)
+    for canon, rows in by_canon.items():
+        ids = sorted(r["doc_id"] for r in rows)
+        assert len(ids) == 4, canon          # all variants collapse
+        for r in rows:
+            assert r["rep_id"] == ids[0]
+            assert r["is_dup"] == (r["doc_id"] != ids[0])
