@@ -7,6 +7,8 @@ Subcommands:
   redact  <text>        one-document smoke path (reference: main.py:38,87-92)
   run     --input --output --metrics --run-id [--n-buckets]
                         resumable corpus pipeline (restart = resume)
+  select  --input --output --method {dsir,semdedup,urldedup} [--frac]
+                        data-selection job: score + cut, snapshot commit
   evaluate [--offset --limit --randomize --seed]
                         golden-fixture held-out evaluation
   scaling [--low --high]
@@ -103,6 +105,67 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """Corpus selection job: score + cut with one of the data-selection
+    operators, commit the kept subset as a table snapshot.
+
+      dsir      top-``--frac`` by hashed-LM importance ratio
+                (operators/dsir.py; needs a text column)
+      semdedup  drop within-cluster semantic duplicates
+                (operators/clustering.py; needs an embedding column)
+      urldedup  keep one row per canonical url
+                (functions/url_rules.py canonicalization)
+    """
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.tables import IcebergishTable
+
+    spark = get_spark(app_name="select")
+    ship_package(spark)
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+
+    if args.method == "dsir":
+        from pii_redactor_spark.operators.dsir import dsir_select
+        flags = dsir_select(df, frac=args.frac)
+        keep_ids = flags.filter(F.col("selected")).select("doc_id")
+        kept = df.join(keep_ids, "doc_id", "left_semi")
+    elif args.method == "semdedup":
+        from pii_redactor_spark.kernels.artifacts import (
+            load_centroids, save_centroids)
+        from pii_redactor_spark.operators.clustering import (
+            kmeans_fit, semdedup)
+        emb = df.select(F.col("doc_id").alias("vec_id"), "embedding")
+        # fit-once, serve-many: with --artifacts, the first run commits
+        # the fitted quantizer, reruns serve from it (bit-identical —
+        # float64 round-trips the .npz losslessly)
+        cents = None
+        if args.artifacts:
+            try:
+                cents = load_centroids(args.artifacts)
+            except FileNotFoundError:
+                cents = kmeans_fit(emb)
+                save_centroids(args.artifacts, cents)
+        flags = semdedup(emb, cents=cents)
+        keep_ids = (flags.filter(~F.col("is_dup"))
+                    .select(F.col("vec_id").alias("doc_id")))
+        kept = df.join(keep_ids, "doc_id", "left_semi")
+    else:  # urldedup
+        from pii_redactor_spark.functions.url_rules import canonical_url
+        reps = (df.select(canonical_url("url").alias("_canon"), "doc_id")
+                .groupBy("_canon").agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+        kept = df.join(reps, "doc_id", "left_semi")
+
+    out = IcebergishTable(args.output)
+    out.overwrite(kept)
+    n_kept = out.read(spark).count()
+    release_caches()
+    print(json.dumps({"method": args.method, "n_in": n_in,
+                      "n_kept": n_kept,
+                      "snapshot": out.current_snapshot_id()}))
+    return 0
+
+
 def cmd_fit(args) -> int:
     """Fit thresholds + kernel artifacts on a validation slice — the
     deterministic analogue of the reference's --optimize
@@ -166,6 +229,16 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--artifacts", default=None,
                    help="load fitted kernel tables + thresholds")
     g.set_defaults(fn=cmd_run)
+
+    sel = sub.add_parser("select")
+    sel.add_argument("--input", required=True)
+    sel.add_argument("--output", required=True)
+    sel.add_argument("--method", choices=("dsir", "semdedup", "urldedup"),
+                     default="dsir")
+    sel.add_argument("--frac", type=float, default=0.25)
+    sel.add_argument("--artifacts", default=None,
+                     help="semdedup: reuse/commit the fitted quantizer")
+    sel.set_defaults(fn=cmd_select)
 
     f = sub.add_parser("fit")
     f.add_argument("--input", required=True)

@@ -139,3 +139,31 @@ def load_artifacts(path: str | Path) -> dict:
     if "quality_clf" in t:
         _qclf.preload(t["quality_clf"])
     return t["manifest"]
+
+
+CENTROIDS = "centroids.npz"
+
+
+def save_centroids(path: str | Path,
+                   cents: list[tuple[int, list[float]]]) -> None:
+    """Persist a fitted coarse-quantizer artifact (operators/clustering
+    kmeans_fit output) next to the kernel tables. Unlike the seed-corpus
+    kernels this is CORPUS-fitted state, so it is written at job time
+    (like thresholds.json), not by save_artifacts."""
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cvs = np.array([cv for _, cv in cents], dtype=np.float64)
+    np.savez_compressed(out / CENTROIDS, cids=cids, cvs=cvs)
+
+
+def load_centroids(path: str | Path) -> list[tuple[int, list[float]]]:
+    """Load a fitted centroid artifact; FileNotFoundError if absent.
+    float64 round-trips .npz losslessly, so serving from the artifact is
+    bit-identical to serving from the in-session fit."""
+    f = Path(path) / CENTROIDS
+    if not f.exists():
+        raise FileNotFoundError(f)
+    with np.load(f, allow_pickle=False) as z:
+        return [(int(c), list(map(float, cv)))
+                for c, cv in zip(z["cids"], z["cvs"])]

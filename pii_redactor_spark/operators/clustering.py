@@ -247,7 +247,9 @@ def _semdedup_flags_expr(assigned: DataFrame, tau: float) -> DataFrame:
 
 def semdedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
              tau: float = SEM_TAU, dim: int = EMB_DIM,
-             arrow: bool = True) -> DataFrame:
+             arrow: bool = True,
+             cents: list[tuple[int, list[float]]] | None = None
+             ) -> DataFrame:
     """SemDeDup: k-means-cluster the embeddings, then mark a vector as a
     semantic duplicate iff a LOWER-vec_id vector in the SAME cluster has
     cosine >= tau (keep-lowest representative — the deterministic
@@ -258,8 +260,10 @@ def semdedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     bounded by the per-cluster size, never all-pairs across the corpus.
     Output: (vec_id, cid:int, is_dup:boolean).
     """
+    if cents is None:
+        cents = kmeans_fit(emb, k, iters, dim)
     assigned = (
-        _assign(_vecs(emb), kmeans_fit(emb, k, iters, dim))
+        _assign(_vecs(emb), cents)
         .select("vec_id", F.col("cid").cast("int").alias("cid"), "v"))
     if arrow:
         return _semdedup_flags_arrow(assigned, tau)

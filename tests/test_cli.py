@@ -147,3 +147,53 @@ def test_run_and_resume(spark, capsys, tmp_path):
     again = _run(capsys, args)
     assert again["commits_this_invocation"] == 0
     assert again["total_rows"] == 500
+
+
+def test_select_dsir(spark, capsys, tmp_path):
+    got = _run(capsys, [
+        "select", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "sel"), "--method", "dsir",
+        "--frac", "0.2"])
+    assert got["method"] == "dsir"
+    assert got["n_in"] == 500
+    assert got["n_kept"] == 100          # exact top-frac
+    assert got["snapshot"] is not None
+    out = spark.read.parquet(str(tmp_path / "sel" / "data" / "*"))
+    assert out.count() == 100
+    assert "text" in out.columns          # full rows survive, not flags
+
+
+def test_select_semdedup(spark, capsys, tmp_path):
+    # embeddings table: rename vec_id -> doc_id on the way in
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb_in")
+    emb.withColumnRenamed("vec_id", "doc_id").write.parquet(src)
+    got = _run(capsys, [
+        "select", "--input", src,
+        "--output", str(tmp_path / "sel2"), "--method", "semdedup"])
+    assert got["n_in"] == 500
+    assert 0 < got["n_kept"] < 500       # some dups dropped, rest kept
+
+
+def test_select_semdedup_artifact_roundtrip(spark, capsys, tmp_path):
+    """fit-once serve-many: the first --artifacts run commits the
+    fitted quantizer; the rerun loads it and produces the identical
+    selection (float64 .npz round-trip is lossless)."""
+    import os
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb_in")
+    emb.withColumnRenamed("vec_id", "doc_id").write.parquet(src)
+    art = str(tmp_path / "art")
+    got1 = _run(capsys, [
+        "select", "--input", src, "--output", str(tmp_path / "o1"),
+        "--method", "semdedup", "--artifacts", art])
+    assert os.path.exists(os.path.join(art, "centroids.npz"))
+    got2 = _run(capsys, [
+        "select", "--input", src, "--output", str(tmp_path / "o2"),
+        "--method", "semdedup", "--artifacts", art])
+    assert got1["n_kept"] == got2["n_kept"]
+    ids1 = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "o1" / "data" / "*")).collect()}
+    ids2 = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "o2" / "data" / "*")).collect()}
+    assert ids1 == ids2

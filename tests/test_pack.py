@@ -63,3 +63,18 @@ def test_pack_covers_token_stream_exactly(spark):
         if r["n_tokens"] > 0:
             seqs.update(range(r["seq_idx"], r["seq_idx"] + r["n_seqs"]))
     assert seqs == set(range(max(seqs) + 1))
+
+
+def test_prefix_sum_null_values_and_null_buckets(spark):
+    """NULL values contribute 0 in both phases (window sum skips them,
+    bucket sums coalesce) — including a bucket that is entirely NULL."""
+    rows = [(i, None if i % 3 == 0 else i) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["ps"]
+           for r in global_prefix_sum(df, "k", "v", sum_name="ps",
+                                      num_buckets=4).collect()}
+    run, want = 0, {}
+    for k, v in rows:
+        want[k] = run
+        run += v or 0
+    assert got == want
