@@ -63,6 +63,7 @@ HEADLINE = [
     "q_text_embed",
     "q_decontaminate",
     "q_dsir",
+    "q_dsir_gumbel",
     "q_split_hash",
     "q_pack",
     "q_url_dedup",

@@ -1537,3 +1537,10 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical", "rep_id",
                 (F.col("doc_id") != F.col("rep_id")).alias("is_dup"))
     )
+
+
+@register("q_dsir_gumbel", oracle=_dsir.dsir_gumbel_oracle_sql())
+def q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the paper's sample-without-replacement form: Gumbel-top-frac with
+    # a deterministic md5-seeded draw (operators/dsir.py)
+    return _dsir.dsir_gumbel_select(_t(spark, sf_dir, "documents"))

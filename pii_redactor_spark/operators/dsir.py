@@ -159,17 +159,12 @@ def dsir_select(docs: DataFrame, text_col: str = "text",
     )
 
 
-def dsir_oracle_sql(table: str = "documents", text_col: str = "text",
-                    id_col: str = "doc_id", frac: float = DSIR_FRAC,
-                    dim: int = DSIR_DIM) -> str:
-    """DuckDB twin: target log-probs as a VALUES artifact, raw LM
-    re-fitted IN SQL with the same smoothing/quantization arithmetic,
-    exact BIGINT sum per doc, ROW_NUMBER top-frac (equivalent to the
-    struct-threshold cut under the (score, id) total order)."""
+def _scored_cte(table: str, text_col: str, id_col: str, dim: int) -> str:
+    """WITH-prefix ending in `scored` = (id, n_words, s:BIGINT) —
+    shared by the deterministic and Gumbel oracles."""
     lt = target_logprobs(dim)
     lt_rows = ", ".join(f"({b}, {v})" for b, v in enumerate(lt))
     words = _WORDS_SQL.format(t=text_col)
-    pct = int(round(frac * 100))
     return f"""
 WITH lt(bucket, lp) AS (VALUES {lt_rows}),
 base AS (
@@ -193,7 +188,19 @@ contrib AS (
 scored AS (
   SELECT b.{id_col}, len(b.ws) AS n_words,
          COALESCE(c.s, 0) AS s
-  FROM base b LEFT JOIN contrib c USING ({id_col})),
+  FROM base b LEFT JOIN contrib c USING ({id_col}))"""
+
+
+def dsir_oracle_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id", frac: float = DSIR_FRAC,
+                    dim: int = DSIR_DIM) -> str:
+    """DuckDB twin: target log-probs as a VALUES artifact, raw LM
+    re-fitted IN SQL with the same smoothing/quantization arithmetic,
+    exact BIGINT sum per doc, ROW_NUMBER top-frac (equivalent to the
+    struct-threshold cut under the (score, id) total order)."""
+    pct = int(round(frac * 100))
+    return f"""
+{_scored_cte(table, text_col, id_col, dim)},
 ranked AS (
   SELECT {id_col}, n_words, s,
          ROW_NUMBER() OVER (ORDER BY s DESC, {id_col} ASC) AS rn,
@@ -201,6 +208,106 @@ ranked AS (
   FROM scored)
 SELECT {id_col}, CAST(n_words AS INT) AS n_words,
        round(CAST(s AS DOUBLE) / {_SCALE}, 6) AS dsir_logw,
+       rn <= (n * {pct}) // 100 AS selected
+FROM ranked
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-perturbed variant: the paper's actual sample-WITHOUT-replacement
+# (top-k of logw + Gumbel noise == Gumbel-top-k sampling, Vieira 2014).
+# ---------------------------------------------------------------------------
+_U_DENOM = float(1 << 52)  # 13 hex digits of md5 = 52 uniform bits
+
+
+def _gumbel_col(id_col: str):
+    """Deterministic per-doc Gumbel draw: u from 13 md5 hex digits of
+    the id ((v + 0.5) / 2^52 — exact in doubles, never 0 or 1), then
+    g = -ln(-ln(u)). The two ln calls run in-engine on BOTH sides
+    (same doubles in; the final key is rounded to 6 decimals before
+    ranking so a last-ulp libm difference cannot flip the cut except
+    exactly on a rounding boundary — the same tolerance class as every
+    round(...,6) output in the contract)."""
+    v = F.conv(F.substring(
+        F.md5(F.concat(F.lit("g:"), F.col(id_col).cast("string"))),
+        1, 13), 16, 10).cast("bigint")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(_U_DENOM)
+    return -F.log(-F.log(u))
+
+
+def dsir_gumbel_select(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", frac: float = DSIR_FRAC,
+                       dim: int = DSIR_DIM) -> DataFrame:
+    """(doc_id, n_words, gumbel_key, selected): Gumbel-top-frac —
+    exactly ``dsir_select``'s plan with the perturbed, 6-rounded key
+    swapped into the same TakeOrdered struct-threshold cut."""
+    lt = target_logprobs(dim)
+    lq = raw_logprobs(docs, text_col, dim)
+    lr = [lt[b] - lq[b] for b in range(dim)]
+    lr_lit = F.expr("array({})".format(",".join(f"{v}L" for v in lr)))
+
+    scored = registered_persist(
+        docs
+        .withColumn("_words", words_col(F.col(text_col)))
+        .withColumn("_buckets", F.transform(
+            F.col("_words"), lambda w: _bucket_expr(w, dim)))
+        .withColumn("_s", F.aggregate(
+            F.col("_buckets"), F.lit(0).cast("bigint"),
+            lambda acc, bk: acc + F.element_at(lr_lit, bk + 1)))
+        .select(id_col, F.size("_buckets").alias("n_words"),
+                F.round(F.col("_s").cast("double") / _SCALE
+                        + _gumbel_col(id_col), 6).alias("gumbel_key"))
+    )
+    n = docs.count()
+    k = (n * int(round(frac * 100))) // 100
+    sel = F.lit(False)
+    if k > 0:
+        thr = (
+            scored.select(F.struct(
+                (-F.col("gumbel_key")).alias("nk"),
+                F.col(id_col).alias("id")).alias("o"))
+            .orderBy("o").limit(k)
+            .agg(F.max("o").alias("o")).first()["o"]
+        )
+        if thr is not None:
+            sel = (
+                F.struct((-F.col("gumbel_key")).alias("nk"),
+                         F.col(id_col).alias("id"))
+                <= F.struct(F.lit(thr["nk"]).cast("double").alias("nk"),
+                            F.lit(thr["id"]).alias("id"))
+            )
+    return scored.select(id_col, "n_words", "gumbel_key",
+                         sel.alias("selected"))
+
+
+def dsir_gumbel_oracle_sql(table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           frac: float = DSIR_FRAC,
+                           dim: int = DSIR_DIM) -> str:
+    pct = int(round(frac * 100))
+    ufold = (
+        "list_sum(list_transform(range(13), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5('g:' || "
+        f"CAST({id_col} AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1 AS BIGINT)"
+        " * CAST(power(16, 12 - i) AS BIGINT)))"
+    )
+    return f"""
+{_scored_cte(table, text_col, id_col, dim)},
+keyed AS (
+  SELECT {id_col}, n_words,
+         round(CAST(s AS DOUBLE) / {_SCALE}
+               + (-ln(-ln((CAST({ufold} AS DOUBLE) + 0.5) / {_U_DENOM!r}))),
+               6) AS gumbel_key
+  FROM scored),
+ranked AS (
+  SELECT {id_col}, n_words, gumbel_key,
+         ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, {id_col} ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM keyed)
+SELECT {id_col}, CAST(n_words AS INT) AS n_words, gumbel_key,
        rn <= (n * {pct}) // 100 AS selected
 FROM ranked
 """

@@ -80,3 +80,22 @@ def test_raw_lm_fit_is_single_bounded_aggregate(docs):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial" in plan.lower()
+
+
+def test_gumbel_selection_exact_fraction_and_perturbed(docs):
+    """Gumbel-top-frac keeps exactly k rows, is deterministic across
+    calls (md5-seeded draw), and genuinely perturbs the deterministic
+    cut (samples outside the greedy top-25% get in)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    det = {r["doc_id"] for r in dsir.dsir_select(docs).collect()
+           if r["selected"]}
+    g1 = dsir.dsir_gumbel_select(docs).collect()
+    release_caches()
+    g2 = dsir.dsir_gumbel_select(docs).collect()
+    release_caches()
+    sel1 = {r["doc_id"] for r in g1 if r["selected"]}
+    sel2 = {r["doc_id"] for r in g2 if r["selected"]}
+    assert len(sel1) == (len(g1) * 25) // 100
+    assert sel1 == sel2                      # deterministic draw
+    assert sel1 != det                       # noise changes the sample
+    assert len(sel1 & det) > 0               # but high-weight docs stay
