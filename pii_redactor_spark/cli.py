@@ -119,14 +119,20 @@ def cmd_select(args) -> int:
     from pii_redactor_spark.operators.cache import release_caches
     from pii_redactor_spark.tables import IcebergishTable
 
+    if args.frac is not None and args.method != "dsir":
+        print(json.dumps({"error": "--frac applies to --method dsir only "
+                          "(semdedup cuts by tau, urldedup by canonical)"}))
+        return 2
+
     spark = get_spark(app_name="select")
     ship_package(spark)
     df = spark.read.parquet(args.input)
     n_in = df.count()
 
     if args.method == "dsir":
-        from pii_redactor_spark.operators.dsir import dsir_select
-        flags = dsir_select(df, frac=args.frac)
+        from pii_redactor_spark.operators.dsir import DSIR_FRAC, dsir_select
+        flags = dsir_select(
+            df, frac=args.frac if args.frac is not None else DSIR_FRAC)
         keep_ids = flags.filter(F.col("selected")).select("doc_id")
         kept = df.join(keep_ids, "doc_id", "left_semi")
     elif args.method == "semdedup":
@@ -150,8 +156,19 @@ def cmd_select(args) -> int:
                     .select(F.col("vec_id").alias("doc_id")))
         kept = df.join(keep_ids, "doc_id", "left_semi")
     else:  # urldedup
-        from pii_redactor_spark.functions.url_rules import canonical_url
-        reps = (df.select(canonical_url("url").alias("_canon"), "doc_id")
+        from pii_redactor_spark.functions.url_rules import (
+            canonical_url, host_of)
+        if "url" not in df.columns:
+            print(json.dumps({"error": "urldedup needs a url column"}))
+            return 2
+        # unparseable/NULL urls all canonicalize to the same empty-host
+        # string — give each its own group (raw://doc_id) so malformed
+        # rows are never collapsed into one survivor
+        canon = F.when(
+            F.col("url").isNotNull() & (host_of("url") != ""),
+            canonical_url("url"),
+        ).otherwise(F.concat(F.lit("raw://"), F.col("doc_id")))
+        reps = (df.select(canon.alias("_canon"), "doc_id")
                 .groupBy("_canon").agg(F.min("doc_id").alias("doc_id"))
                 .select("doc_id"))
         kept = df.join(reps, "doc_id", "left_semi")
@@ -235,7 +252,8 @@ def main(argv: list[str] | None = None) -> int:
     sel.add_argument("--output", required=True)
     sel.add_argument("--method", choices=("dsir", "semdedup", "urldedup"),
                      default="dsir")
-    sel.add_argument("--frac", type=float, default=0.25)
+    sel.add_argument("--frac", type=float, default=None,
+                     help="dsir only: keep fraction (default 0.25)")
     sel.add_argument("--artifacts", default=None,
                      help="semdedup: reuse/commit the fitted quantizer")
     sel.set_defaults(fn=cmd_select)

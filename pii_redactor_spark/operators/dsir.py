@@ -104,21 +104,18 @@ def raw_logprobs(docs: DataFrame, text_col: str = "text",
         _qlog(float(counts.get(b, 0)) + DSIR_ALPHA, den) for b in range(dim)]
 
 
-def dsir_select(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id", frac: float = DSIR_FRAC,
-                dim: int = DSIR_DIM) -> DataFrame:
-    """(doc_id, n_words, dsir_logw, selected): exact BIGINT log-ratio
-    score per document + deterministic top-``frac`` cut."""
+def _scored_df(docs: DataFrame, text_col: str, id_col: str,
+               dim: int) -> DataFrame:
+    """Persisted (id, n_words, _s:BIGINT) scoring projection — the
+    per-word md5 fold (the expensive part of the plan) runs once; the
+    threshold job and the final projection both read the materialized
+    scores (quality_tiers precedent; released per query by
+    check_contract/bench via release_caches)."""
     lt = target_logprobs(dim)
     lq = raw_logprobs(docs, text_col, dim)
     lr = [lt[b] - lq[b] for b in range(dim)]
     lr_lit = F.expr("array({})".format(",".join(f"{v}L" for v in lr)))
-
-    # persisted: the per-word md5 scoring fold (the expensive part of
-    # the plan) runs once — the threshold job and the final projection
-    # both read the materialized scores (quality_tiers precedent;
-    # released per query by check_contract/bench via release_caches)
-    scored = registered_persist(
+    return registered_persist(
         docs
         .withColumn("_words", words_col(F.col(text_col)))
         .withColumn("_buckets", F.transform(
@@ -129,29 +126,42 @@ def dsir_select(docs: DataFrame, text_col: str = "text",
         .select(id_col, F.size("_buckets").alias("n_words"),
                 F.col("_s").alias("_s"))
     )
-    # top-frac boundary: k-th largest (score, then id) via ONE
-    # TakeOrderedAndProject on the negated-score struct (kth_smallest
-    # pattern) — the selection itself is a pure literal comparison.
-    # The id keeps its own type (numeric or string) — (score, id) must
-    # be a total order, which unique ids guarantee.
-    n = docs.count()
-    k = (n * int(round(frac * 100))) // 100
-    sel = F.lit(False)
-    if k > 0:
-        thr = (
-            scored.select(F.struct(
-                (-F.col("_s")).alias("ns"),
-                F.col(id_col).alias("id")).alias("o"))
-            .orderBy("o").limit(k)
-            .agg(F.max("o").alias("o")).first()["o"]
-        )
-        if thr is not None:
-            sel = (
-                F.struct((-F.col("_s")).alias("ns"),
-                         F.col(id_col).alias("id"))
-                <= F.struct(F.lit(thr["ns"]).cast("bigint").alias("ns"),
-                            F.lit(thr["id"]).alias("id"))
-            )
+
+
+def _top_frac_cut(scored: DataFrame, key_col: str, key_type: str,
+                  id_col: str, k: int):
+    """Keep flag for the top-``k`` rows by (key DESC, id ASC): the
+    boundary is ONE TakeOrderedAndProject on the negated-key struct
+    (kth_smallest pattern, ranking.py), the flag a pure literal
+    comparison — no global window, zero shuffles in the main plan.
+    The id keeps its own type (numeric or string); (key, id) must be a
+    total order, which unique ids guarantee."""
+    if k <= 0:
+        return F.lit(False)
+    thr = (
+        scored.select(F.struct(
+            (-F.col(key_col)).alias("nk"),
+            F.col(id_col).alias("id")).alias("o"))
+        .orderBy("o").limit(k)
+        .agg(F.max("o").alias("o")).first()["o"]
+    )
+    if thr is None:
+        return F.lit(False)
+    return (
+        F.struct((-F.col(key_col)).alias("nk"), F.col(id_col).alias("id"))
+        <= F.struct(F.lit(thr["nk"]).cast(key_type).alias("nk"),
+                    F.lit(thr["id"]).alias("id"))
+    )
+
+
+def dsir_select(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", frac: float = DSIR_FRAC,
+                dim: int = DSIR_DIM) -> DataFrame:
+    """(doc_id, n_words, dsir_logw, selected): exact BIGINT log-ratio
+    score per document + deterministic top-``frac`` cut."""
+    scored = _scored_df(docs, text_col, id_col, dim)
+    k = (docs.count() * int(round(frac * 100))) // 100
+    sel = _top_frac_cut(scored, "_s", "bigint", id_col, k)
     return scored.select(
         id_col, "n_words",
         F.round(F.col("_s").cast("double") / _SCALE, 6).alias("dsir_logw"),
@@ -243,41 +253,14 @@ def dsir_gumbel_select(docs: DataFrame, text_col: str = "text",
     """(doc_id, n_words, gumbel_key, selected): Gumbel-top-frac —
     exactly ``dsir_select``'s plan with the perturbed, 6-rounded key
     swapped into the same TakeOrdered struct-threshold cut."""
-    lt = target_logprobs(dim)
-    lq = raw_logprobs(docs, text_col, dim)
-    lr = [lt[b] - lq[b] for b in range(dim)]
-    lr_lit = F.expr("array({})".format(",".join(f"{v}L" for v in lr)))
-
     scored = registered_persist(
-        docs
-        .withColumn("_words", words_col(F.col(text_col)))
-        .withColumn("_buckets", F.transform(
-            F.col("_words"), lambda w: _bucket_expr(w, dim)))
-        .withColumn("_s", F.aggregate(
-            F.col("_buckets"), F.lit(0).cast("bigint"),
-            lambda acc, bk: acc + F.element_at(lr_lit, bk + 1)))
-        .select(id_col, F.size("_buckets").alias("n_words"),
+        _scored_df(docs, text_col, id_col, dim)
+        .select(id_col, "n_words",
                 F.round(F.col("_s").cast("double") / _SCALE
                         + _gumbel_col(id_col), 6).alias("gumbel_key"))
     )
-    n = docs.count()
-    k = (n * int(round(frac * 100))) // 100
-    sel = F.lit(False)
-    if k > 0:
-        thr = (
-            scored.select(F.struct(
-                (-F.col("gumbel_key")).alias("nk"),
-                F.col(id_col).alias("id")).alias("o"))
-            .orderBy("o").limit(k)
-            .agg(F.max("o").alias("o")).first()["o"]
-        )
-        if thr is not None:
-            sel = (
-                F.struct((-F.col("gumbel_key")).alias("nk"),
-                         F.col(id_col).alias("id"))
-                <= F.struct(F.lit(thr["nk"]).cast("double").alias("nk"),
-                            F.lit(thr["id"]).alias("id"))
-            )
+    k = (docs.count() * int(round(frac * 100))) // 100
+    sel = _top_frac_cut(scored, "gumbel_key", "double", id_col, k)
     return scored.select(id_col, "n_words", "gumbel_key",
                          sel.alias("selected"))
 

@@ -253,11 +253,16 @@ def ann_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
     corpus x centroid rows by vec_id, a full shuffle of the corpus just
     to take rn=1 (round-1 verdict: scale-killer)."""
     queries, corpus = _split_queries(emb, n_queries)
-    # centroid_rows: any [{'label': int, 'cv': [double]}]-shaped
-    # artifact — e.g. operators/clustering.kmeans_fit output — replaces
-    # the default per-label means (the oracle pins the default)
+    # centroid_rows: an external quantizer artifact — either
+    # [{'label': int, 'cv': [double]}] rows or the (cid, cv) tuples
+    # that clustering.kmeans_fit / artifacts.load_centroids return —
+    # replaces the default per-label means (the oracle pins the default)
     if centroid_rows is None:
         centroid_rows = _centroids(emb).collect()
+    centroid_rows = [
+        {"label": r[0], "cv": r[1]} if isinstance(r, tuple) else r
+        for r in centroid_rows
+    ]
     cents = _centroid_literal(centroid_rows)
 
     # per-query top-nprobe lists: comparator sort (ccos desc, label asc)

@@ -197,3 +197,20 @@ def test_select_semdedup_artifact_roundtrip(spark, capsys, tmp_path):
     ids2 = {r["doc_id"] for r in
             spark.read.parquet(str(tmp_path / "o2" / "data" / "*")).collect()}
     assert ids1 == ids2
+
+
+def test_select_urldedup_preserves_malformed_urls(spark, capsys, tmp_path):
+    """Variant urls collapse; malformed/NULL urls never collapse into
+    each other (each keeps its own group)."""
+    rows = [(0, "https://a.example/x"), (1, "https://a.example/x/"),
+            (2, "not-a-url"), (3, None)]
+    src = str(tmp_path / "urls_in")
+    spark.createDataFrame(rows, "doc_id long, url string") \
+        .write.parquet(src)
+    got = _run(capsys, [
+        "select", "--input", src, "--output", str(tmp_path / "o"),
+        "--method", "urldedup"])
+    assert got["n_kept"] == 3
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "o" / "data" / "*")).collect()}
+    assert ids == {0, 2, 3}

@@ -163,9 +163,11 @@ def test_kmeans_centroids_lift_ivf_recall(emb):
           for r in sim.ann_bruteforce(emb).collect()}
     label = {(r["query_id"], r["vec_id"])
              for r in sim.ann_ivf(emb).collect()}
-    cents = [{"label": cid, "cv": cv} for cid, cv in km.kmeans_fit(emb)]
+    # kmeans_fit's (cid, cv) tuples are accepted directly — the
+    # documented artifact-serving path
     fitted = {(r["query_id"], r["vec_id"])
-              for r in sim.ann_ivf(emb, centroid_rows=cents).collect()}
+              for r in sim.ann_ivf(
+                  emb, centroid_rows=km.kmeans_fit(emb)).collect()}
     r_label = len(label & bf) / len(bf)
     r_fitted = len(fitted & bf) / len(bf)
     assert r_fitted >= r_label
