@@ -66,6 +66,8 @@ HEADLINE = [
     "q_dsir_gumbel",
     "q_split_hash",
     "q_pack",
+    "q_vocab",
+    "q_bpe",
     "q_url_dedup",
     "q_worstk_ppl",
     "q_pipeline_full",

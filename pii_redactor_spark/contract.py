@@ -1544,3 +1544,82 @@ def q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the paper's sample-without-replacement form: Gumbel-top-frac with
     # a deterministic md5-seeded draw (operators/dsir.py)
     return _dsir.dsir_gumbel_select(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary extraction: top-N words by frequency — the first
+# step of tokenizer/vocab training. One hash-groupBy count (map-side
+# partials) + TakeOrderedAndProject(N); rank via the (count, word)
+# total order, never a global window.
+# ---------------------------------------------------------------------------
+VOCAB_N = 200
+
+
+@register(
+    "q_vocab",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    w -> w <> '')) AS word
+      FROM documents),
+    counts AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    ranked AS (
+      SELECT word, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank
+      FROM counts)
+    SELECT word, n, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {VOCAB_N}
+    """,
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.functions.rules import words_col
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode_outer(words_col(F.col("text"))).alias("word"))
+        .where(F.col("word").isNotNull())
+        .groupBy("word").agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+    # TakeOrdered keeps the top-N driver-bounded; the rank over N rows
+    # is a single tiny window AFTER the limit (N rows, one task)
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(VOCAB_N)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word"))))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (operators/bpe.py): distributed word-count fit + driver
+# merge learning on the tiny vocab table (how production BPE trainers
+# run) + expression-only serving via a sentinel replace chain with
+# identical scan semantics in both engines. The Spark side FITS on the
+# given corpus at call time; the oracle pins the fit per test corpus
+# (checksum-guarded frozen merge tables, the q_worstk_ppl pattern) and
+# tests re-derive the pins from the corpora.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.operators import bpe as _bpe  # noqa: E402
+
+_BPE_FROZEN: dict[int, list[tuple[str, str]]] = {
+    153156: [("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+             ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+             ("a", "n"), ("c", "an")],
+    149174: [("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+             ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+             ("j", "o"), ("jo", "in")],
+    1485576: [("e", "r"), ("i", "n"), ("o", "r"), ("s", "t"), ("o", "w"),
+              ("t", "a"), ("l", "u"), ("m", "er"), ("a", "r"), ("p", "ar"),
+              ("u", "p"), ("par", "k")],
+}
+
+_BPE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT * FROM ({_bpe.bpe_oracle_sql(merges)})
+    WHERE (SELECT sum(n_chars) FROM documents) = {chk}"""
+    for chk, merges in _BPE_FROZEN.items()
+)
+
+
+@register("q_bpe", oracle=_BPE_ORACLE)
+def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe.fit_bpe_merges(_bpe.bpe_word_counts(docs))
+    return _bpe.bpe_columns(docs, merges)

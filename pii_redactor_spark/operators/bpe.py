@@ -1,0 +1,164 @@
+"""BPE-style tokenizer: distributed fit, expression-only serving.
+
+The reference counts nothing token-wise; an LLM-data pipeline budgets
+everything in tokens, and the tokenizer itself is FIT on the corpus.
+This module implements the classic byte-pair-encoding training loop the
+way production trainers actually run it (HuggingFace tokenizers, GPT-2):
+
+- **Distributed part**: the word-frequency table — ONE hash-groupBy
+  count over the exploded corpus (map-side partials), collected
+  driver-side. At 10^12 documents this stays a |vocab|-row table; the
+  corpus is scanned once.
+- **Driver part**: the merge loop runs over the tiny (word, count)
+  table, never the corpus — each step counts adjacent symbol pairs
+  weighted by word frequency, merges the most frequent pair
+  (ties to the lexicographically smallest pair, so the fit is fully
+  deterministic), and stops early when no pair repeats.
+- **Serving**: expression-only, parity by construction. A document is
+  encoded as a sentinel string — word gaps become ``§``, then every
+  character is space-delimited (`` a b c § d e ``) — and each learned
+  merge ``(x, y)`` is ONE literal ``replace(' x y ', ' xy ')`` call.
+  Both engines' ``replace`` is the same non-overlapping left-to-right
+  no-rescan scan, and the driver merge loop uses EXACTLY that scan
+  (merge-then-skip), so Spark, DuckDB and the fit agree symbol-for-
+  symbol with zero float arithmetic anywhere. Leading-space patterns
+  make merges suffix-safe (`` ax y `` never matches `` x y ``), and no
+  merge pair ever contains ``§``, so merges cannot cross words.
+
+Token counts fall out of length arithmetic: spaces(enc) - 1 symbols,
+minus the word-gap markers.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BPE_MERGES = 12   # merge-table size on the synthetic corpus
+_GAP = "§"   # word-gap sentinel (never appears in corpus text)
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> list:
+    """The distributed fit input: (word, n) via one exploded count."""
+    from pii_redactor_spark.functions.rules import words_col
+    return (
+        docs
+        .select(F.explode_outer(words_col(F.col(text_col))).alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w").agg(F.count("*").alias("n"))
+        .collect()
+    )
+
+
+def _merge_seq(seq: list[str], x: str, y: str) -> list[str]:
+    """Left-to-right non-rescanning merge — the EXACT semantics of
+    ``replace(' x y ', ' xy ')`` on the sentinel encoding: a match
+    consumes the trailing space, so the token immediately after a merge
+    has no leading space left and can never START the next match (it is
+    emitted as-is; scanning resumes at the token after it). Verified
+    equivalent to str.replace in test_bpe."""
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == x and seq[i + 1] == y:
+            out.append(x + y)
+            if i + 2 < len(seq):
+                out.append(seq[i + 2])
+            i += 3
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def fit_bpe_merges(word_counts: list, n_merges: int = BPE_MERGES
+                   ) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over the (word, count) table.
+    Deterministic: best pair = (max count, then lexicographically
+    smallest); stops when no adjacent pair occurs twice."""
+    seqs: dict[str, list[str]] = {
+        r["w"]: list(r["w"]) for r in word_counts}
+    freq = {r["w"]: int(r["n"]) for r in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for w, seq in seqs.items():
+            n = freq[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        x, y = best
+        for w in seqs:
+            seqs[w] = _merge_seq(seqs[w], x, y)
+    return merges
+
+
+def _enc_sql(text_col: str, dollar_refs: bool) -> str:
+    """Sentinel encoding `` a b c § d e `` as one SQL expression.
+    ``dollar_refs`` picks the engine dialect: Spark uses ``$1`` group
+    refs and is always-global; DuckDB uses ``\\1`` and needs the
+    explicit ``'g'`` flag (first-match-only by default)."""
+    if dollar_refs:
+        return (f"' ' || regexp_replace(regexp_replace(trim({text_col}), "
+                f"'\\\\s+', '{_GAP}'), '(.)', '$1 ')")
+    return (f"' ' || regexp_replace(regexp_replace(trim({text_col}), "
+            f"'\\s+', '{_GAP}', 'g'), '(.)', '\\1 ', 'g')")
+
+
+def bpe_token_expr(text_col: str, merges: list[tuple[str, str]],
+                   dollar_refs: bool = True) -> str:
+    """SQL string computing the encoded symbol stream after all merges
+    (chained literal replaces — identical call tree in both engines)."""
+    expr = _enc_sql(text_col, dollar_refs)
+    for x, y in merges:
+        expr = f"replace({expr}, ' {x} {y} ', ' {x}{y} ')"
+    return expr
+
+
+def bpe_columns(docs: DataFrame, merges: list[tuple[str, str]],
+                text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """(doc_id, n_base_tokens, n_bpe_tokens): character count before
+    merging and BPE symbol count after — pure integer length
+    arithmetic over the encoded stream, zero Python, zero shuffle."""
+    enc = F.expr(bpe_token_expr(text_col, merges, dollar_refs=True))
+    return (
+        docs
+        .withColumn("_enc", enc)
+        .withColumn("_spaces",
+                    F.length("_enc")
+                    - F.length(F.expr("replace(_enc, ' ', '')")))
+        .withColumn("_gaps",
+                    F.length("_enc")
+                    - F.length(F.expr(f"replace(_enc, '{_GAP}', '')")))
+        .select(
+            id_col,
+            F.length(F.expr(
+                f"regexp_replace(trim({text_col}), '\\\\s+', '')"))
+            .cast("int").alias("n_base_tokens"),
+            (F.col("_spaces") - 1 - F.col("_gaps"))
+            .cast("int").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_oracle_sql(merges: list[tuple[str, str]],
+                   table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    enc = bpe_token_expr(text_col, merges, dollar_refs=False)
+    return f"""
+WITH e AS (SELECT {id_col}, {text_col}, {enc} AS enc FROM {table})
+SELECT {id_col},
+       CAST(length(regexp_replace(trim({text_col}), '\\s+', '', 'g'))
+            AS INT) AS n_base_tokens,
+       CAST(length(enc) - length(replace(enc, ' ', '')) - 1
+            - (length(enc) - length(replace(enc, '{_GAP}', ''))) AS INT)
+         AS n_bpe_tokens
+FROM e
+"""

@@ -1,0 +1,69 @@
+"""BPE tokenizer: distributed-fit determinism, frozen-pin re-derivation,
+and the merge-scan / string-replace semantic equivalence the oracle
+parity rests on."""
+
+from __future__ import annotations
+
+import pytest
+
+from pii_redactor_spark.operators import bpe
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_fit_matches_frozen_pins_per_corpus(spark):
+    """The oracle's checksum-guarded merge tables are re-derived from
+    the corpora, not just asserted: the live fit must equal the pin."""
+    from pii_redactor_spark.contract import _BPE_FROZEN
+    for sf, chk in (("0.001", 153156), ("0.01", 149174)):
+        d = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        merges = bpe.fit_bpe_merges(bpe.bpe_word_counts(d))
+        assert merges == _BPE_FROZEN[chk], sf
+
+
+def test_merge_scan_equals_string_replace():
+    """_merge_seq (the fit's scan) and str.replace on the sentinel
+    encoding (the serving scan) must agree — including the overlapping
+    'aaa' case where a rescanning merge would differ."""
+    import itertools
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "b"], "a", "b"),
+        (["x", "a", "b", "a", "b", "y"], "a", "b"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["ab", "a", "b"], "a", "b"),   # suffix safety
+    ] + [  # exhaustive over all length-<=5 sequences of {a, b}
+        (list(seq), "a", "b")
+        for n in range(2, 6)
+        for seq in itertools.product("ab", repeat=n)
+    ] + [
+        (list(seq), "a", "a")
+        for n in range(2, 6)
+        for seq in itertools.product("ab", repeat=n)
+    ]
+    for seq, x, y in cases:
+        enc = " " + " ".join(seq) + " "
+        via_replace = enc.replace(f" {x} {y} ", f" {x}{y} ")
+        via_scan = " " + " ".join(bpe._merge_seq(seq, x, y)) + " "
+        assert via_replace == via_scan, (seq, x, y)
+
+
+def test_bpe_compresses_and_bounds(docs):
+    merges = bpe.fit_bpe_merges(bpe.bpe_word_counts(docs))
+    assert 1 <= len(merges) <= bpe.BPE_MERGES
+    out = bpe.bpe_columns(docs, merges).collect()
+    assert all(0 <= r["n_bpe_tokens"] <= r["n_base_tokens"] for r in out)
+    # the learned merges actually fire somewhere
+    assert any(r["n_bpe_tokens"] < r["n_base_tokens"] for r in out)
+
+
+def test_bpe_serving_plan_is_projection_only(docs):
+    merges = bpe.fit_bpe_merges(bpe.bpe_word_counts(docs))
+    plan = (bpe.bpe_columns(docs, merges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan
