@@ -1572,13 +1572,9 @@ VOCAB_N = 200
     """,
 )
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pii_redactor_spark.functions.rules import words_col
-    counts = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode_outer(words_col(F.col("text"))).alias("word"))
-        .where(F.col("word").isNotNull())
-        .groupBy("word").agg(F.count("*").alias("n"))
-    )
+    from pii_redactor_spark.operators.bpe import word_counts_df
+    counts = word_counts_df(_t(spark, sf_dir, "documents")) \
+        .withColumnRenamed("w", "word")
     from pyspark.sql.window import Window
     # TakeOrdered keeps the top-N driver-bounded; the rank over N rows
     # is a single tiny window AFTER the limit (N rows, one task)

@@ -40,16 +40,28 @@ BPE_MERGES = 12   # merge-table size on the synthetic corpus
 _GAP = "§"   # word-gap sentinel (never appears in corpus text)
 
 
-def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> list:
-    """The distributed fit input: (word, n) via one exploded count."""
+def word_counts_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, n) word-frequency table — ONE exploded hash-groupBy count
+    (map-side partials). Shared by the BPE fit and q_vocab."""
     from pii_redactor_spark.functions.rules import words_col
     return (
         docs
         .select(F.explode_outer(words_col(F.col(text_col))).alias("w"))
         .where(F.col("w").isNotNull())
         .groupBy("w").agg(F.count("*").alias("n"))
-        .collect()
     )
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text",
+                    min_freq: int = 1) -> list:
+    """The collected fit input. On a real web corpus the raw vocabulary
+    is unbounded (typos, URLs, hashes) — set ``min_freq`` (or cap with
+    a TakeOrdered top-K) so the driver hop stays vocab-bounded, exactly
+    as production BPE trainers prune before training."""
+    df = word_counts_df(docs, text_col)
+    if min_freq > 1:
+        df = df.where(F.col("n") >= min_freq)
+    return df.collect()
 
 
 def _merge_seq(seq: list[str], x: str, y: str) -> list[str]:
@@ -99,15 +111,29 @@ def fit_bpe_merges(word_counts: list, n_merges: int = BPE_MERGES
     return merges
 
 
+def _clean_sql(text_col: str) -> str:
+    """Literal-replace pre-clean, identical in both engines: a raw
+    ``§`` in the text would be mistaken for a word gap, and
+    U+0085/U+2028/U+2029 are the chars where the engines' regex ``.``
+    classes diverge (Java excludes line terminators, RE2 only \\n) —
+    map all four to a plain space so they become ordinary word gaps
+    BEFORE any regex touches the text."""
+    out = text_col
+    for ch in (_GAP, "\u0085", "\u2028", "\u2029"):
+        out = f"replace({out}, '{ch}', ' ')"
+    return out
+
+
 def _enc_sql(text_col: str, dollar_refs: bool) -> str:
     """Sentinel encoding `` a b c § d e `` as one SQL expression.
     ``dollar_refs`` picks the engine dialect: Spark uses ``$1`` group
     refs and is always-global; DuckDB uses ``\\1`` and needs the
     explicit ``'g'`` flag (first-match-only by default)."""
+    cleaned = _clean_sql(text_col)
     if dollar_refs:
-        return (f"' ' || regexp_replace(regexp_replace(trim({text_col}), "
+        return (f"' ' || regexp_replace(regexp_replace(trim({cleaned}), "
                 f"'\\\\s+', '{_GAP}'), '(.)', '$1 ')")
-    return (f"' ' || regexp_replace(regexp_replace(trim({text_col}), "
+    return (f"' ' || regexp_replace(regexp_replace(trim({cleaned}), "
             f"'\\s+', '{_GAP}', 'g'), '(.)', '\\1 ', 'g')")
 
 
@@ -139,8 +165,10 @@ def bpe_columns(docs: DataFrame, merges: list[tuple[str, str]],
                     - F.length(F.expr(f"replace(_enc, '{_GAP}', '')")))
         .select(
             id_col,
-            F.length(F.expr(
-                f"regexp_replace(trim({text_col}), '\\\\s+', '')"))
+            # enc = ' ' + sum(symbol + ' '), merges only remove spaces,
+            # so base characters = total - spaces - gap markers (no
+            # second regex pass over the raw text needed)
+            (F.length("_enc") - F.col("_spaces") - F.col("_gaps"))
             .cast("int").alias("n_base_tokens"),
             (F.col("_spaces") - 1 - F.col("_gaps"))
             .cast("int").alias("n_bpe_tokens"),
@@ -153,12 +181,14 @@ def bpe_oracle_sql(merges: list[tuple[str, str]],
                    id_col: str = "doc_id") -> str:
     enc = bpe_token_expr(text_col, merges, dollar_refs=False)
     return f"""
-WITH e AS (SELECT {id_col}, {text_col}, {enc} AS enc FROM {table})
+WITH e AS (SELECT {id_col}, {enc} AS enc FROM {table}),
+m AS (
+  SELECT {id_col}, length(enc) AS L,
+         length(enc) - length(replace(enc, ' ', '')) AS spaces,
+         length(enc) - length(replace(enc, '{_GAP}', '')) AS gaps
+  FROM e)
 SELECT {id_col},
-       CAST(length(regexp_replace(trim({text_col}), '\\s+', '', 'g'))
-            AS INT) AS n_base_tokens,
-       CAST(length(enc) - length(replace(enc, ' ', '')) - 1
-            - (length(enc) - length(replace(enc, '{_GAP}', ''))) AS INT)
-         AS n_bpe_tokens
-FROM e
+       CAST(L - spaces - gaps AS INT) AS n_base_tokens,
+       CAST(spaces - 1 - gaps AS INT) AS n_bpe_tokens
+FROM m
 """

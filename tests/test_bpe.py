@@ -18,7 +18,8 @@ def test_fit_matches_frozen_pins_per_corpus(spark):
     """The oracle's checksum-guarded merge tables are re-derived from
     the corpora, not just asserted: the live fit must equal the pin."""
     from pii_redactor_spark.contract import _BPE_FROZEN
-    for sf, chk in (("0.001", 153156), ("0.01", 149174)):
+    for sf, chk in (("0.001", 153156), ("0.01", 149174),
+                    ("0.1", 1485576)):
         d = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
         merges = bpe.fit_bpe_merges(bpe.bpe_word_counts(d))
         assert merges == _BPE_FROZEN[chk], sf
@@ -67,3 +68,16 @@ def test_bpe_serving_plan_is_projection_only(docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_sentinel_and_line_separator_input_is_safe(spark):
+    """A literal '§' or a Unicode line separator in the text becomes an
+    ordinary word gap (pre-clean), never a fake symbol or an
+    engine-divergent char."""
+    rows = [(0, "a§b c"), (1, "x y"), (2, "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe.bpe_columns(df, []).collect()}
+    assert out[0]["n_base_tokens"] == 3      # a, b, c — § is a gap
+    assert out[0]["n_bpe_tokens"] == 3
+    assert out[1]["n_base_tokens"] == 2      # x, y — U+2028 is a gap
+    assert out[2]["n_bpe_tokens"] == 5
