@@ -59,6 +59,7 @@ HEADLINE = [
     "q_ann_pq",
     "q_kmeans",
     "q_semdedup",
+    "q_proto_prune",
     "q_host_rank",
     "q_text_embed",
     "q_decontaminate",

@@ -1619,3 +1619,10 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = _bpe.fit_bpe_merges(_bpe.bpe_word_counts(docs))
     return _bpe.bpe_columns(docs, merges)
+
+
+@register("q_proto_prune", oracle=_km.proto_prune_oracle_sql())
+def q_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorscher-et-al prototype pruning: keep the hardest 25% per
+    # fitted cluster (operators/clustering.py proto_prune)
+    return _km.proto_prune(_t(spark, sf_dir, "embeddings"))

@@ -347,3 +347,59 @@ SELECT aout.vec_id, CAST(aout.cid AS INT) AS cid,
        (dups.vec_id IS NOT NULL) AS is_dup
 FROM aout LEFT JOIN dups ON aout.vec_id = dups.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+# scaling laws"): rank examples by distance to their k-means prototype
+# and keep the HARD fraction (farthest from the centroid) — the paper's
+# best-performing self-supervised pruning metric in the abundant-data
+# regime. Rides the same fitted assignment as SemDeDup; the per-cluster
+# rank windows are bounded by cluster size (k scales with the corpus).
+# ---------------------------------------------------------------------------
+PROTO_KEEP_PCT = 25
+
+
+def proto_prune(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+                keep_pct: int = PROTO_KEEP_PCT, dim: int = EMB_DIM,
+                cents: list[tuple[int, list[float]]] | None = None
+                ) -> DataFrame:
+    """(vec_id, cid:int, d2, keep): keep the ``keep_pct``% hardest
+    examples per cluster (largest squared distance, ties to the lowest
+    vec_id; every cluster keeps at least one example)."""
+    from pyspark.sql.window import Window
+    if cents is None:
+        cents = kmeans_fit(emb, k, iters, dim)
+    assigned = _assign(_vecs(emb), cents).select(
+        "vec_id", F.col("cid").cast("int").alias("cid"), "d2")
+    w = Window.partitionBy("cid").orderBy(F.desc("d2"), F.asc("vec_id"))
+    wc = Window.partitionBy("cid")
+    return (
+        assigned
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count("*").over(wc))
+        .select(
+            "vec_id", "cid", F.round("d2", 6).alias("d2"),
+            (F.col("_rn") <= F.greatest(
+                F.lit(1),
+                F.expr(f"_cnt * {keep_pct} div 100"))).alias("keep"),
+        )
+    )
+
+
+def proto_prune_oracle_sql(table: str = "embeddings", k: int = KM_K,
+                           iters: int = KM_ITERS,
+                           keep_pct: int = PROTO_KEEP_PCT,
+                           dim: int = EMB_DIM) -> str:
+    return f"""
+{_kmeans_cte(table, k, iters, dim)},
+ranked AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY d2 DESC, vec_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cid) AS cnt
+  FROM aout)
+SELECT vec_id, CAST(cid AS INT) AS cid, round(d2, 6) AS d2,
+       rn <= greatest(1, (cnt * {keep_pct}) // 100) AS keep
+FROM ranked
+"""

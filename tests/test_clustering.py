@@ -172,3 +172,18 @@ def test_kmeans_centroids_lift_ivf_recall(emb):
     r_fitted = len(fitted & bf) / len(bf)
     assert r_fitted >= r_label
     assert r_fitted >= 0.9
+
+
+def test_proto_prune_keeps_hardest_per_cluster(emb):
+    """Sorscher-style pruning: exactly max(1, 25%) per cluster, and the
+    kept set is the per-cluster farthest-from-centroid suffix."""
+    out = km.proto_prune(emb).collect()
+    by_cid: dict[int, list] = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    for cid, rows in by_cid.items():
+        kept = [r for r in rows if r["keep"]]
+        assert len(kept) == max(1, (len(rows) * km.PROTO_KEEP_PCT) // 100)
+        order = sorted(rows, key=lambda r: (-r["d2"], r["vec_id"]))
+        assert {r["vec_id"] for r in kept} == \
+            {r["vec_id"] for r in order[:len(kept)]}
