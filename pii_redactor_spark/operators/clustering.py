@@ -362,27 +362,38 @@ PROTO_KEEP_PCT = 25
 
 def proto_prune(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
                 keep_pct: int = PROTO_KEEP_PCT, dim: int = EMB_DIM,
-                cents: list[tuple[int, list[float]]] | None = None
-                ) -> DataFrame:
+                cents: list[tuple[int, list[float]]] | None = None,
+                hot_threshold: int | None = None) -> DataFrame:
     """(vec_id, cid:int, d2, keep): keep the ``keep_pct``% hardest
     examples per cluster (largest squared distance, ties to the lowest
-    vec_id; every cluster keeps at least one example)."""
-    from pyspark.sql.window import Window
+    vec_id; every cluster keeps at least one example).
+
+    The per-cluster rank goes through ``ranking.group_row_number`` —
+    with a small fixed k the biggest cluster holds a large fraction of
+    the corpus, and AQE never skew-splits WINDOW partitions (CLAUDE.md
+    window-skew rule), so hot clusters take the bounded two-phase
+    bucketed rank while cold ones use a plain window. Ascending rank on
+    the negated distance == descending on d2 (negation is exact)."""
+    from pii_redactor_spark.operators.ranking import group_row_number
     if cents is None:
         cents = kmeans_fit(emb, k, iters, dim)
-    assigned = _assign(_vecs(emb), cents).select(
-        "vec_id", F.col("cid").cast("int").alias("cid"), "d2")
-    w = Window.partitionBy("cid").orderBy(F.desc("d2"), F.asc("vec_id"))
-    wc = Window.partitionBy("cid")
+    assigned = registered_persist(
+        _assign(_vecs(emb), cents)
+        .select("vec_id", F.col("cid").cast("int").alias("cid"), "d2")
+        .withColumn("_nd2", -F.col("d2")))
+    counts = assigned.groupBy("cid").count()
+    kwargs = {} if hot_threshold is None else {
+        "hot_threshold": hot_threshold}
+    ranked = group_row_number(
+        assigned, "cid", "_nd2", extra_order_cols=("vec_id",),
+        rn_name="_rn", **kwargs)
     return (
-        assigned
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_cnt", F.count("*").over(wc))
+        ranked.join(F.broadcast(counts), "cid")
         .select(
             "vec_id", "cid", F.round("d2", 6).alias("d2"),
             (F.col("_rn") <= F.greatest(
                 F.lit(1),
-                F.expr(f"_cnt * {keep_pct} div 100"))).alias("keep"),
+                F.expr(f"count * {keep_pct} div 100"))).alias("keep"),
         )
     )
 

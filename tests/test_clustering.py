@@ -176,14 +176,39 @@ def test_kmeans_centroids_lift_ivf_recall(emb):
 
 def test_proto_prune_keeps_hardest_per_cluster(emb):
     """Sorscher-style pruning: exactly max(1, 25%) per cluster, and the
-    kept set is the per-cluster farthest-from-centroid suffix."""
-    out = km.proto_prune(emb).collect()
+    kept set is the per-cluster farthest-from-centroid suffix — ranked
+    on the UNROUNDED distances (the operator ranks unrounded; the
+    output d2 is rounded for display, so sorting the output column
+    could diverge at sub-1e-6 boundaries)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    cents = km.kmeans_fit(emb)
+    exact = {r["vec_id"]: r["d2"]
+             for r in km._assign(km._vecs(emb), cents).collect()}
+    out = km.proto_prune(emb, cents=cents).collect()
+    release_caches()
     by_cid: dict[int, list] = {}
     for r in out:
         by_cid.setdefault(r["cid"], []).append(r)
     for cid, rows in by_cid.items():
         kept = [r for r in rows if r["keep"]]
         assert len(kept) == max(1, (len(rows) * km.PROTO_KEEP_PCT) // 100)
-        order = sorted(rows, key=lambda r: (-r["d2"], r["vec_id"]))
+        order = sorted(rows,
+                       key=lambda r: (-exact[r["vec_id"]], r["vec_id"]))
         assert {r["vec_id"] for r in kept} == \
             {r["vec_id"] for r in order[:len(kept)]}
+
+
+def test_proto_prune_rank_is_skew_safe(emb):
+    """With a hot threshold below the biggest cluster, the rank must
+    route through the bucketed two-phase path (no full-cluster window
+    in one task) and still produce identical flags."""
+    from pii_redactor_spark.operators.cache import release_caches
+    cents = km.kmeans_fit(emb)
+    base = {(r["vec_id"], r["keep"])
+            for r in km.proto_prune(emb, cents=cents).collect()}
+    release_caches()
+    hot = {(r["vec_id"], r["keep"])
+           for r in km.proto_prune(emb, cents=cents,
+                                   hot_threshold=10).collect()}
+    release_caches()
+    assert hot == base
