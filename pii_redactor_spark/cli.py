@@ -7,7 +7,7 @@ Subcommands:
   redact  <text>        one-document smoke path (reference: main.py:38,87-92)
   run     --input --output --metrics --run-id [--n-buckets]
                         resumable corpus pipeline (restart = resume)
-  select  --input --output --method {dsir,semdedup,urldedup} [--frac]
+  select  --input --output --method {dsir,semdedup,proto,urldedup}
                         data-selection job: score + cut, snapshot commit
   evaluate [--offset --limit --randomize --seed]
                         golden-fixture held-out evaluation
@@ -113,6 +113,8 @@ def cmd_select(args) -> int:
                 (operators/dsir.py; needs a text column)
       semdedup  drop within-cluster semantic duplicates
                 (operators/clustering.py; needs an embedding column)
+      proto     keep the hardest fraction per fitted cluster
+                (Sorscher-style prototype pruning; embedding column)
       urldedup  keep one row per canonical url
                 (functions/url_rules.py canonicalization)
     """
@@ -135,11 +137,11 @@ def cmd_select(args) -> int:
             df, frac=args.frac if args.frac is not None else DSIR_FRAC)
         keep_ids = flags.filter(F.col("selected")).select("doc_id")
         kept = df.join(keep_ids, "doc_id", "left_semi")
-    elif args.method == "semdedup":
+    elif args.method in ("semdedup", "proto"):
         from pii_redactor_spark.kernels.artifacts import (
             load_centroids, save_centroids)
         from pii_redactor_spark.operators.clustering import (
-            kmeans_fit, semdedup)
+            kmeans_fit, proto_prune, semdedup)
         emb = df.select(F.col("doc_id").alias("vec_id"), "embedding")
         # fit-once, serve-many: with --artifacts, the first run commits
         # the fitted quantizer, reruns serve from it (bit-identical —
@@ -151,8 +153,13 @@ def cmd_select(args) -> int:
             except FileNotFoundError:
                 cents = kmeans_fit(emb)
                 save_centroids(args.artifacts, cents)
-        flags = semdedup(emb, cents=cents)
-        keep_ids = (flags.filter(~F.col("is_dup"))
+        if args.method == "semdedup":
+            flags = semdedup(emb, cents=cents)
+            keep = ~F.col("is_dup")
+        else:
+            flags = proto_prune(emb, cents=cents)
+            keep = F.col("keep")
+        keep_ids = (flags.filter(keep)
                     .select(F.col("vec_id").alias("doc_id")))
         kept = df.join(keep_ids, "doc_id", "left_semi")
     else:  # urldedup
@@ -250,7 +257,7 @@ def main(argv: list[str] | None = None) -> int:
     sel = sub.add_parser("select")
     sel.add_argument("--input", required=True)
     sel.add_argument("--output", required=True)
-    sel.add_argument("--method", choices=("dsir", "semdedup", "urldedup"),
+    sel.add_argument("--method", choices=("dsir", "semdedup", "proto", "urldedup"),
                      default="dsir")
     sel.add_argument("--frac", type=float, default=None,
                      help="dsir only: keep fraction (default 0.25)")

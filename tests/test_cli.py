@@ -214,3 +214,16 @@ def test_select_urldedup_preserves_malformed_urls(spark, capsys, tmp_path):
     ids = {r["doc_id"] for r in
            spark.read.parquet(str(tmp_path / "o" / "data" / "*")).collect()}
     assert ids == {0, 2, 3}
+
+
+def test_select_proto(spark, capsys, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb_in_p")
+    emb.withColumnRenamed("vec_id", "doc_id").write.parquet(src)
+    got = _run(capsys, [
+        "select", "--input", src, "--output", str(tmp_path / "op"),
+        "--method", "proto"])
+    assert got["n_in"] == 500
+    # hardest-25%-per-cluster: close to n/4, exact value set by
+    # per-cluster flooring with the at-least-one guard
+    assert 100 <= got["n_kept"] <= 132
