@@ -930,20 +930,21 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Language-ID kernel over the corpus (north-star fastText-style kernel;
-# kernels/langid.py) — not SQL-expressible, rows-only check.
+# Language ID over the corpus (north-star fastText-style langid;
+# kernels/langid.py). Round-4: served by the EXPRESSION form (hashed
+# char-bigram NB, BIGINT-quantized weights, md5 bucket fold — the
+# quality_clf recipe) so the query is fully oracle-gated; the pandas-UDF
+# kernel remains the flagship-path scorer (q_pipeline_full) and both
+# are pinned to 100% seed-sentence accuracy in test_rules_kernels.
 # ---------------------------------------------------------------------------
-@register("q_langid")
+from pii_redactor_spark.kernels import langid as _lg  # noqa: E402
+
+
+@register("q_langid",
+          oracle=_lg.langid_expr_oracle_sql(extra_cols=("lang",)))
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pii_redactor_spark.kernels.langid import make_langid_udf
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs
-        .withColumn("pred", make_langid_udf()("text"))
-        .select("doc_id", "lang",
-                F.col("pred.lang_pred").alias("lang_pred"),
-                F.col("pred.lang_conf").alias("lang_conf"))
-    )
+    return _lg.langid_expr_columns(
+        _t(spark, sf_dir, "documents"), extra_cols=("lang",))
 
 
 # ---------------------------------------------------------------------------
@@ -1428,15 +1429,17 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two-phase prefix scan, never Exchange SinglePartition).
 # ---------------------------------------------------------------------------
 SEQ_TOKENS = 2048
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Whitespace spelled as an explicit char class: Java's \s includes
+# \x0B (VT) but RE2's does not — the one predefined-class divergence
+# between the engines' regex dialects (round-3 ADVICE).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
+# the same pattern text works verbatim as a DuckDB literal: SQL strings
+# do not process backslashes, so '\t' reaches RE2 as the escape itself
 
-
-@register(
-    "q_pack",
-    oracle=f"""
-    WITH toks AS (
+_PACK_PRE_SQL = f"""
+    toks AS (
       SELECT doc_id,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             len(regexp_extract_all(text, '{_BPE_RE}'))
                AS n_tokens
       FROM documents),
     pre AS (
@@ -1444,7 +1447,29 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS start_off
-      FROM toks)
+      FROM toks)"""
+
+
+def _pack_pre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, start_off) — the shared concat-then-chunk
+    prefix: regex token counts + the bounded two-phase global prefix
+    scan (ranking.global_prefix_sum; never Exchange SinglePartition).
+    Persisted: the regex tokenization is the dominant cost and would
+    otherwise run twice (prefix-sum bucket-sums job + final plan)."""
+    from pii_redactor_spark.operators.cache import registered_persist
+    from pii_redactor_spark.operators.ranking import global_prefix_sum
+    toks = registered_persist(_t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(_BPE_RE), 0)).alias("n_tokens")))
+    return global_prefix_sum(toks, "doc_id", "n_tokens",
+                             sum_name="start_off")
+
+
+@register(
+    "q_pack",
+    oracle=f"""
+    WITH {_PACK_PRE_SQL}
     SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start_off,
            start_off // {SEQ_TOKENS} AS seq_idx,
            CASE WHEN n_tokens > 0 THEN
@@ -1455,16 +1480,7 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     """,
 )
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pii_redactor_spark.operators.cache import registered_persist
-    from pii_redactor_spark.operators.ranking import global_prefix_sum
-    # persisted: the regex tokenization is the dominant cost and would
-    # otherwise run twice (prefix-sum bucket-sums job + final plan)
-    toks = registered_persist(_t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.regexp_extract_all(
-            F.col("text"), F.lit(_BPE_RE), 0)).alias("n_tokens")))
-    pre = global_prefix_sum(toks, "doc_id", "n_tokens",
-                            sum_name="start_off")
+    pre = _pack_pre(spark, sf_dir)
     b = SEQ_TOKENS
     return pre.select(
         "doc_id", "n_tokens", "start_off",
@@ -1473,6 +1489,59 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.expr(f"(start_off + n_tokens - 1) div {b}")
                - F.expr(f"start_off div {b}") + F.lit(1))
         .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized packed sequences (round-3 verdict item 5): explode the
+# per-doc span count into the rows a tokenizer writer consumes —
+# (seq_idx, doc_id, slice_start, slice_len), slice offsets within the
+# document's token stream. Bounded generate (explode of an integer
+# sequence, outer + null-filter per the InferFiltersFromGenerate rule),
+# pure integer arithmetic on both engines; row count = sum(n_seqs) and
+# per-seq_idx token sums hit SEQ_TOKENS exactly except the final
+# partial sequence (pinned in tests/test_pack.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q_pack_rows",
+    oracle=f"""
+    WITH {_PACK_PRE_SQL},
+    spans AS (
+      SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+             unnest(range(CAST(start_off // {SEQ_TOKENS} AS BIGINT),
+                          CAST((start_off + n_tokens - 1) // {SEQ_TOKENS}
+                               + 1 AS BIGINT)))
+               AS seq_idx
+      FROM pre WHERE n_tokens > 0)
+    SELECT seq_idx, doc_id,
+           CAST(greatest(seq_idx * {SEQ_TOKENS} - start_off, 0) AS BIGINT)
+             AS slice_start,
+           CAST(least((seq_idx + 1) * {SEQ_TOKENS}, start_off + n_tokens)
+             - greatest(seq_idx * {SEQ_TOKENS}, start_off) AS BIGINT)
+             AS slice_len
+    FROM spans
+    """,
+)
+def q_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pre = _pack_pre(spark, sf_dir)
+    b = SEQ_TOKENS
+    return (
+        pre.where(F.col("n_tokens") > 0)
+        .withColumn("_seqs", F.sequence(
+            F.expr(f"start_off div {b}"),
+            F.expr(f"(start_off + n_tokens - 1) div {b}")))
+        .select("doc_id", "n_tokens", "start_off",
+                F.explode_outer("_seqs").alias("seq_idx"))
+        .where(F.col("seq_idx").isNotNull())
+        .select(
+            "seq_idx", "doc_id",
+            F.greatest(F.expr(f"seq_idx * {b} - start_off"),
+                       F.lit(0).cast("bigint")).alias("slice_start"),
+            (F.least(F.expr(f"(seq_idx + 1) * {b}"),
+                     F.col("start_off") + F.col("n_tokens"))
+             - F.greatest(F.expr(f"seq_idx * {b}"), F.col("start_off")))
+            .cast("bigint").alias("slice_len"),
+        )
     )
 
 

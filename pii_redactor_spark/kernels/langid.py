@@ -150,3 +150,161 @@ def make_langid_udf():
             yield pd.DataFrame({"lang_pred": preds, "lang_conf": confs})
 
     return langid
+
+
+# ---------------------------------------------------------------------------
+# Expression-form language ID — the oracle-gated serving twin.
+#
+# Same published shape as the pandas-UDF kernel above (fastText-style
+# hashed char-n-gram NB, Joulin et al. 2016) re-expressed with the
+# engine-reproducible discipline of kernels/quality_clf.py: the NB
+# char-BIGRAM log-likelihoods are quantized to BIGINT (x 1e6), bigram
+# buckets come from the first-8-hex-chars md5 fold (reproducible in
+# DuckDB via the strpos fold), per-language scores are exact BIGINT
+# aggregate folds, and argmax is a deterministic >=-CASE chain in
+# sorted-language order. Zero Python, zero shuffle — a projection over
+# the scan; the UDF kernel stays the flagship-path scorer (wider 1-3
+# gram features + confidence), this form is what the contract oracle
+# bit-checks. Both fit the same embedded seed corpora and both score
+# every seed sentence to its true language (pinned in
+# tests/test_rules_kernels.py).
+# ---------------------------------------------------------------------------
+LANGID_EXPR_DIM = 2048
+_EXPR_SCALE = 1_000_000
+
+
+def _char_bigrams(text: str) -> list[str]:
+    lc = text.lower()
+    return [lc[i:i + 2] for i in range(len(lc) - 1)]
+
+
+def bigram_bucket(bg: str, dim: int = LANGID_EXPR_DIM) -> int:
+    """First-8-hex-chars md5 fold of 'lg:' + bigram — the same
+    cross-engine bucket recipe as quality_clf.bucket_of."""
+    import hashlib
+    h = hashlib.md5(("lg:" + bg).encode("utf-8")).hexdigest()
+    return int(h[:8], 16) % dim
+
+
+@lru_cache(maxsize=1)
+def fit_langid_expr(dim: int = LANGID_EXPR_DIM
+                    ) -> tuple[list[str], np.ndarray]:
+    """Add-one-smoothed NB over md5-bucketed char bigrams of the seed
+    corpora; log-likelihoods quantized to BIGINT x 1e6. Returns
+    (sorted languages, W int64[L, dim]). Deterministic — the fit is a
+    pure function of the embedded text and feeds identical literals
+    into the Spark plan and the DuckDB VALUES table."""
+    langs = sorted(SEED_CORPORA)
+    counts = np.ones((len(langs), dim), dtype=np.float64)  # +1 smoothing
+    for i, lang in enumerate(langs):
+        for bg in _char_bigrams(SEED_CORPORA[lang]):
+            counts[i, bigram_bucket(bg, dim)] += 1
+    lik = np.log(counts / counts.sum(axis=1, keepdims=True))
+    return langs, np.rint(lik * _EXPR_SCALE).astype(np.int64)
+
+
+def _lg_bucket_expr(bg, dim: int):
+    m = F.md5(F.concat(F.lit("lg:"), bg))
+    return F.pmod(F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint"),
+                  F.lit(dim)).cast("int")
+
+
+def _lang_score(bk_col, w_lit):
+    """Closure factory (never default-arg lambdas — HOF arity rule):
+    exact BIGINT sum of per-bigram weights."""
+    return F.aggregate(bk_col, F.lit(0).cast("bigint"),
+                       lambda acc, bk: acc + F.element_at(w_lit, bk + 1))
+
+
+def langid_expr_columns(docs: "DataFrame", text_col: str = "text",
+                        id_col: str = "doc_id",
+                        extra_cols: tuple[str, ...] = (),
+                        dim: int = LANGID_EXPR_DIM) -> "DataFrame":
+    """(id, *extra_cols, lang_pred): expression-only language ID.
+
+    Char bigrams are built with zip_with over two slices of the char
+    array (slices evaluate their input once per row — positional
+    element_at inside a transform re-evaluates the captured array PER
+    ELEMENT when CollapseProject inlines it, the O(n^2) trap in
+    CLAUDE.md). Documents shorter than 2 chars (or NULL) predict NULL,
+    matching the oracle's length guard."""
+    langs, W = fit_langid_expr(dim)
+    pre = (
+        docs
+        .withColumn("_lc", F.lower(F.col(text_col)))
+        .withColumn("_chars",
+                    F.slice(F.split(F.col("_lc"), ""), 1,
+                            F.length("_lc")))
+        .withColumn("_bgs", F.when(
+            F.length("_lc") >= 2,
+            F.zip_with(
+                F.slice(F.col("_chars"), 1, F.length("_lc") - 1),
+                F.slice(F.col("_chars"), 2, F.length("_lc") - 1),
+                lambda a, b: F.concat(a, b)),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")))
+        .withColumn("_bk", F.transform(
+            F.col("_bgs"), lambda bg: _lg_bucket_expr(bg, dim)))
+    )
+    for i, lang in enumerate(langs):
+        w_lit = F.expr("array({})".format(
+            ",".join(f"{int(v)}L" for v in W[i])))
+        pre = pre.withColumn(f"_s_{lang}", _lang_score(F.col("_bk"), w_lit))
+    # argmax as a >=-CASE chain in sorted-lang order (ties -> earliest),
+    # guarded so short/NULL text yields NULL — identical chain in SQL
+    chain = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = F.col(f"_s_{langs[i]}") >= F.col(f"_s_{langs[j]}")
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(langs[i])).otherwise(chain)
+    pred = F.when(F.length("_lc") >= 2, chain)
+    return pre.select(id_col, *extra_cols, pred.alias("lang_pred"))
+
+
+def langid_expr_oracle_sql(table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           extra_cols: tuple[str, ...] = (),
+                           dim: int = LANGID_EXPR_DIM) -> str:
+    """DuckDB twin: bigrams via range+substr over lower(text), the
+    'lg:' strpos md5 fold, one SUM per language off a VALUES weight
+    table (every bucket row present, so the join drops nothing), and
+    the same >=-CASE argmax chain."""
+    langs, W = fit_langid_expr(dim)
+    wt_rows = ", ".join(
+        "({}, {})".format(b, ", ".join(str(int(W[i][b]))
+                                       for i in range(len(langs))))
+        for b in range(dim))
+    wt_cols = ", ".join(f"w_{lang}" for lang in langs)
+    sums = ", ".join(f"SUM(wt.w_{lang}) AS s_{lang}" for lang in langs)
+    fold = (
+        "list_sum(list_transform(range(8), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('lg:' || bg), "
+        "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
+        "CAST(power(16, 7 - i) AS BIGINT)))"
+    )
+    whens = []
+    for i in range(len(langs) - 1):
+        conds = " AND ".join(
+            f"c.s_{langs[i]} >= c.s_{langs[j]}"
+            for j in range(i + 1, len(langs)))
+        whens.append(f"WHEN {conds} THEN '{langs[i]}'")
+    chain = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    extra = "".join(f"b.{c}, " for c in extra_cols)
+    return f"""
+WITH wt(bucket, {wt_cols}) AS (VALUES {wt_rows}),
+base AS (SELECT {id_col}, {', '.join(extra_cols) + ', ' if extra_cols else ''}lower({text_col}) AS lc FROM {table}),
+bg AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, length(lc)),
+                i -> substr(lc, CAST(i AS INT), 2))) AS bg
+  FROM base),
+bk AS (SELECT {id_col}, CAST({fold} % {dim} AS INT) AS bucket FROM bg),
+contrib AS (
+  SELECT bk.{id_col}, {sums}
+  FROM bk JOIN wt USING (bucket) GROUP BY bk.{id_col})
+SELECT b.{id_col}, {extra}
+       CASE WHEN length(b.lc) >= 2 THEN {chain} ELSE NULL END AS lang_pred
+FROM base b LEFT JOIN contrib c ON b.{id_col} = c.{id_col}
+"""

@@ -65,6 +65,39 @@ def test_pack_covers_token_stream_exactly(spark):
     assert seqs == set(range(max(seqs) + 1))
 
 
+def test_pack_rows_materialization(spark):
+    """q_pack_rows is the exploded writer-ready form: row count equals
+    sum(n_seqs), every doc's slices tile its token stream contiguously,
+    and per-seq_idx slice sums hit SEQ_TOKENS exactly except the final
+    partial sequence."""
+    from collections import defaultdict
+
+    from pii_redactor_spark.contract import QUERIES, SEQ_TOKENS
+    pack = QUERIES["q_pack"](spark, SF).collect()
+    rows = QUERIES["q_pack_rows"](spark, SF).collect()
+    assert len(rows) == sum(r["n_seqs"] for r in pack)
+    by_doc = defaultdict(list)
+    per_seq = defaultdict(int)
+    for r in rows:
+        assert r["slice_len"] > 0
+        by_doc[r["doc_id"]].append(r)
+        per_seq[r["seq_idx"]] += r["slice_len"]
+    ntok = {r["doc_id"]: r["n_tokens"] for r in pack}
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["seq_idx"])
+        pos = 0
+        for s in spans:
+            assert s["slice_start"] == pos
+            pos += s["slice_len"]
+        assert pos == ntok[doc_id]
+    last = max(per_seq)
+    for seq_idx, tot in per_seq.items():
+        if seq_idx < last:
+            assert tot == SEQ_TOKENS
+        else:
+            assert 0 < tot <= SEQ_TOKENS
+
+
 def test_prefix_sum_null_values_and_null_buckets(spark):
     """NULL values contribute 0 in both phases (window sum skips them,
     bucket sums coalesce) — including a bucket that is entirely NULL."""

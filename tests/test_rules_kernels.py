@@ -199,9 +199,42 @@ class TestKernelGoldenValues:
                         (414, 26.819225)]
 
     def test_langid_distribution_golden(self, spark):
+        # kernel (pandas-UDF) distribution pin — q_langid itself is now
+        # oracle-gated (expression form), so the kernel keeps its own pin
+        from collections import Counter
+
+        from pii_redactor_spark.kernels.langid import make_langid_udf
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = docs.withColumn("pred", make_langid_udf()("text")) \
+            .select("pred.lang_pred").collect()
+        c = Counter(r["lang_pred"] for r in rows)
+        assert dict(c) == {"en": 486, "fr": 8, "es": 6}
+
+    def test_langid_expr_distribution_golden(self, spark):
         from collections import Counter
 
         from pii_redactor_spark.contract import QUERIES
         df = QUERIES["q_langid"](spark, "/root/testdata/sf0.001")
         c = Counter(r["lang_pred"] for r in df.collect())
-        assert dict(c) == {"en": 486, "fr": 8, "es": 6}
+        assert dict(c) == {"en": 455, "fr": 10, "es": 31, "de": 4}
+
+    def test_langid_expr_seed_accuracy(self, spark):
+        """Both langid forms classify every in-domain (seed-corpora)
+        sentence to its true language — the agreement surface between
+        the kernel and the oracle-gated expression serving path."""
+        from pii_redactor_spark.kernels.corpora import SEED_CORPORA
+        from pii_redactor_spark.kernels.langid import (
+            langid_expr_columns, predict_lang_batch)
+        sents = []
+        for lang in sorted(SEED_CORPORA):
+            for s in SEED_CORPORA[lang].replace("。", ". ").split(". "):
+                if len(s.strip()) >= 12:
+                    sents.append((lang, s.strip()))
+        df = spark.createDataFrame(
+            [(i, t) for i, (_, t) in enumerate(sents)],
+            "doc_id long, text string")
+        preds = {r["doc_id"]: r["lang_pred"]
+                 for r in langid_expr_columns(df).collect()}
+        assert all(preds[i] == lang for i, (lang, _) in enumerate(sents))
+        kpred, _ = predict_lang_batch([t for _, t in sents])
+        assert all(kpred[i] == lang for i, (lang, _) in enumerate(sents))
