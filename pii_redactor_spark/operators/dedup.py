@@ -35,9 +35,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # MinHash: H signatures grouped into B bands of R rows (H = B*R).
-MINHASH_H = 16
-LSH_BANDS = 4
-LSH_ROWS = 4
+# Round-4 widening (round-3 verdict item 4): 16 bands x 8 rows — the
+# production S-curve for a ~0.8-Jaccard dedup threshold. Candidate
+# probability is 1-(1-J^R)^B: at J=0.8 -> 0.95, J=0.7 -> 0.61,
+# J=0.5 -> 0.06 (knee (1/B)^(1/R) ~= 0.71), vs the old 4x4's 0.71 @
+# J=0.8 with a fat J=0.5 tail of 0.23. Measured candidate
+# recall/precision vs the Jaccard-verified truth is recorded by
+# scripts/minhash_recall.py in BENCH/minhash_recall_r4.json.
+MINHASH_H = 128
+LSH_BANDS = 16
+LSH_ROWS = 8
 SHINGLE_K = 3      # word 3-shingles
 SIMHASH_BITS = 60  # 15 hex chars -> signed-bigint-safe in Spark AND DuckDB
 
@@ -124,7 +131,8 @@ def simhash60_expr(hashes: Column) -> Column:
     return out.cast("bigint")
 
 
-def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_minhash(docs: DataFrame, text_col: str = "text",
+                 h: int = MINHASH_H) -> DataFrame:
     """Attach `sig` (array<bigint> of H minhashes) via a staged
     projection: words → shingles → 60-bit shingle hashes (one md5 each),
     each materialized once and shared downstream."""
@@ -135,7 +143,8 @@ def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("_sh_hashes", F.transform(F.col("_shingles"), word_hash60))
     )
     return (
-        pre.withColumn("sig", F.array(*minhash_sig_exprs(F.col("_sh_hashes"))))
+        pre.withColumn("sig",
+                       F.array(*minhash_sig_exprs(F.col("_sh_hashes"), h)))
         .drop("_words", "_shingles", "_sh_hashes")
     )
 
@@ -175,10 +184,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_bands(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", h: int = MINHASH_H,
+                  bands: int = LSH_BANDS,
+                  rows: int = LSH_ROWS) -> DataFrame:
     """(id, band_idx, band_hash) — one row per doc per band. Projection +
-    explode only; the downstream bucket join supplies the shuffle."""
-    sigs = with_minhash(docs, text_col)
+    explode only; the downstream bucket join supplies the shuffle.
+    (h, bands, rows) parameterized so scripts/minhash_recall.py can
+    sweep S-curves; the contract pins the module defaults."""
+    sigs = with_minhash(docs, text_col, h)
     # explode_outer + null filter: a plain explode triggers
     # InferFiltersFromGenerate, which duplicates the whole signature
     # expression into a pushed-down size() filter (see
@@ -186,7 +199,8 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
     return (
         sigs
         .select(F.col(id_col),
-                F.explode_outer(band_hashes(F.col("sig"))).alias("b"))
+                F.explode_outer(band_hashes(F.col("sig"), bands, rows))
+                .alias("b"))
         .where(F.col("b").isNotNull())
         .select(id_col, "b.band_idx", "b.band_hash")
     )
@@ -194,7 +208,9 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        reuse_bands: bool = True) -> DataFrame:
+                        reuse_bands: bool = True,
+                        h: int = MINHASH_H, bands: int = LSH_BANDS,
+                        rows: int = LSH_ROWS) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) that share at least
     one LSH band. Equi self-join on (band_idx, band_hash) — the classic
     MinHash-LSH bucket join; AQE splits skewed buckets.
@@ -205,7 +221,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     materializing signatures to an Iceberg-style table (tables.py) —
     persist is the single-job analogue."""
     from pii_redactor_spark.operators.cache import registered_persist
-    b = minhash_bands(docs, text_col, id_col)
+    b = minhash_bands(docs, text_col, id_col, h, bands, rows)
     if reuse_bands:
         b = registered_persist(b)
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
@@ -220,13 +236,16 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  pairs: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard verification of LSH candidates: join each
     pair back to its distinct shingle sets, jaccard = |A∩B| / |A∪B|.
     The candidate set (not the corpus cross product) drives the cost —
-    this is the standard verify stage after LSH recall."""
+    this is the standard verify stage after LSH recall. ``pairs``
+    overrides the candidate source (any (id_a, id_b) DataFrame)."""
     from pii_redactor_spark.operators.cache import registered_persist
-    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs, text_col, id_col)
     shingle_sets = registered_persist(  # joined twice (id_a and id_b sides)
         docs
         .withColumn("_words", words_expr(F.col(text_col)))

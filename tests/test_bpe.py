@@ -70,6 +70,40 @@ def test_bpe_serving_plan_is_projection_only(docs):
     assert "Python" not in plan
 
 
+def test_fit_collect_is_vocab_bounded(docs):
+    """Round-3 verdict item 1: the fit's driver hop is bounded BY
+    DEFAULT — hapaxes pruned, TakeOrderedAndProject cap feeding the
+    collect, and the collected row count <= max_vocab regardless of
+    corpus vocabulary."""
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.operators.bpe import word_counts_df
+    assert bpe.BPE_MIN_FREQ >= 2
+    rows = bpe.bpe_word_counts(docs, max_vocab=10)
+    assert len(rows) <= 10
+    # plan guard: the default fit input ends in a TakeOrdered cap
+    df = word_counts_df(docs).where(F.col("n") >= bpe.BPE_MIN_FREQ) \
+        .orderBy(F.desc("n"), F.asc("w")).limit(bpe.BPE_MAX_VOCAB)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # and the bounded default still reproduces the frozen pins (no
+    # hapax ever ranks into a merge decision on this corpus)
+    from pii_redactor_spark.contract import _BPE_FROZEN
+    merges = bpe.fit_bpe_merges(bpe.bpe_word_counts(docs))
+    assert merges == _BPE_FROZEN[153156]
+
+
+def test_vt_ff_whitespace_parity(spark):
+    """\\x0B / \\x0C are Java-\\s-only whitespace — the pre-clean maps
+    them to plain spaces so both engines see a word gap (round-3
+    ADVICE)."""
+    rows = [(0, "a\x0bb c"), (1, "x\x0cy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe.bpe_columns(df, []).collect()}
+    assert out[0]["n_base_tokens"] == 3 and out[0]["n_bpe_tokens"] == 3
+    assert out[1]["n_base_tokens"] == 2 and out[1]["n_bpe_tokens"] == 2
+
+
 def test_sentinel_and_line_separator_input_is_safe(spark):
     """A literal '§' or a Unicode line separator in the text becomes an
     ordinary word gap (pre-clean), never a fake symbol or an
