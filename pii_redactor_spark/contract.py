@@ -1695,3 +1695,26 @@ def q_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sorscher-et-al prototype pruning: keep the hardest 25% per
     # fitted cluster (operators/clustering.py proto_prune)
     return _km.proto_prune(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Neural-encoder slot (kernels/encoder.py, round-3 verdict item 7): a
+# deterministic 2-layer integer MLP over hashed BoW — the text->vector
+# surface a production pipeline fills with a fitted sentence encoder
+# (artifact-swappable, kernels/artifacts.py encoder.npz). Expression
+# serving is BIGINT-exact end to end (relu = greatest), so the whole
+# NETWORK is oracle-gated, and the iterator-pandas-UDF twin is
+# equality-tested in tests/test_encoder.py. q_ann_mlp closes the loop:
+# the encoder's vectors feeding the ANN family.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.kernels import encoder as _enc  # noqa: E402
+
+
+@register("q_mlp_embed", oracle=_enc.mlp_summary_oracle_sql())
+def q_mlp_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enc.mlp_summary(_t(spark, sf_dir, "documents"))
+
+
+@register("q_ann_mlp", oracle=_enc.mlp_ann_oracle_sql())
+def q_ann_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enc.mlp_ann(_t(spark, sf_dir, "documents"))

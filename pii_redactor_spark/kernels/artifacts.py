@@ -41,6 +41,9 @@ def save_artifacts(path: str | Path) -> dict:
     qw, qb = _qclf.fit_quality_clf()
     np.savez_compressed(out / "quality_clf.npz", weights=qw,
                         bias=np.array([qb], dtype=np.int64))
+    from pii_redactor_spark.kernels import encoder as _enc
+    ew1, eb1, ew2 = _enc.mlp_weights()
+    np.savez_compressed(out / "encoder.npz", w1=ew1, b1=eb1, w2=ew2)
     manifest = {
         "format": 1,
         "langid": {"n_buckets": _langid.N_BUCKETS,
@@ -52,6 +55,8 @@ def save_artifacts(path: str | Path) -> dict:
         "quality_clf": {"dim": _qclf.CLF_DIM,
                         "scale": _qclf._SCALE,
                         "threshold": _qclf.CLF_THRESHOLD},
+        "encoder": {"in": int(ew1.shape[0]), "hid": int(ew1.shape[1]),
+                    "out": int(ew2.shape[1])},
     }
     (out / MANIFEST).write_text(json.dumps(manifest, indent=1))
     return manifest
@@ -98,11 +103,15 @@ def load_tables(path: str | Path) -> dict:
             charlms[lang] = z["logp"].copy()
     tables = {"langid": langid_tables, "charlms": charlms,
               "manifest": manifest}
-    # quality_clf is absent from pre-round-3 artifact dirs — tolerate
+    # quality_clf/encoder are absent from older artifact dirs — tolerate
     if (out / "quality_clf.npz").exists():
         with np.load(out / "quality_clf.npz", allow_pickle=False) as z:
             tables["quality_clf"] = (z["weights"].copy(),
                                      int(z["bias"][0]))
+    if (out / "encoder.npz").exists():
+        with np.load(out / "encoder.npz", allow_pickle=False) as z:
+            tables["encoder"] = (z["w1"].copy(), z["b1"].copy(),
+                                 z["w2"].copy())
     return tables
 
 
@@ -138,6 +147,9 @@ def load_artifacts(path: str | Path) -> dict:
     _ppl.preload(t["charlms"])
     if "quality_clf" in t:
         _qclf.preload(t["quality_clf"])
+    if "encoder" in t:
+        from pii_redactor_spark.kernels import encoder as _enc
+        _enc.preload(t["encoder"])
     return t["manifest"]
 
 

@@ -1,0 +1,347 @@
+"""Neural-encoder slot: a deterministic 2-layer MLP over hashed BoW.
+
+The reference pipes text through a hosted LLM; a training-data pipeline
+embeds text with a local neural encoder and feeds the vectors to ANN /
+SemDeDup / clustering. The sandbox has no model binaries (SURVEY §0), so
+this module proves the SURFACE with a real multi-layer network whose
+weights are deterministic md5-derived integers — the same
+fit-elsewhere/serve-here shape as langid/perplexity, artifact-swappable
+via kernels/artifacts.py (a production run ships fitted weights through
+the same .npz hook).
+
+Architecture (all integer arithmetic until the caller converts):
+
+    x      = signed hashed-BoW counts (bucket/sign from the md5 recipe
+             shared with similarity._sig_from_md5, 'ml:' domain)
+    h_j    = relu(sum_w sign(w) * W1[bucket(w), j] + b1_j)
+    e_k    = sum_j h_j * W2[j, k]
+
+Exact BIGINT everywhere, so the Spark expression serving, the numpy
+iterator-pandas-UDF twin (equality-tested), and the DuckDB oracle agree
+bit-for-bit — the engine-reproducibility discipline of
+kernels/quality_clf.py applied to a nonlinear model: relu is
+``greatest(0, .)`` in every engine, and a linear layer is a sum of
+per-word integer contributions, so the only order-sensitive step
+(float accumulation) never occurs.
+
+Scale shape: serving is a pure projection over the scan (zero shuffle,
+zero Python in the expression form); the UDF form crosses one Arrow
+batch per task. Layer widths are artifact constants — a fitted
+replacement only changes the literals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MLP_IN = 64    # hashed-BoW buckets
+MLP_HID = 16
+MLP_OUT = 16
+
+
+def _mdint(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+
+
+@lru_cache(maxsize=1)
+def mlp_weights() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(W1 int64[IN, HID], b1 int64[HID], W2 int64[HID, OUT]) — small
+    deterministic integers in [-9, 9] (md5-derived; a random-projection
+    stack in the Johnson-Lindenstrauss sense). Replaced wholesale by a
+    fitted artifact via ``preload``."""
+    if _PRELOADED is not None:
+        return _PRELOADED
+    w1 = np.array([[(_mdint(f"mlp1:{i}:{j}") % 19) - 9
+                    for j in range(MLP_HID)] for i in range(MLP_IN)],
+                  dtype=np.int64)
+    b1 = np.array([(_mdint(f"mlpb:{j}") % 19) - 9
+                   for j in range(MLP_HID)], dtype=np.int64)
+    w2 = np.array([[(_mdint(f"mlp2:{j}:{k}") % 19) - 9
+                    for k in range(MLP_OUT)] for j in range(MLP_HID)],
+                  dtype=np.int64)
+    return w1, b1, w2
+
+
+_PRELOADED: "tuple[np.ndarray, np.ndarray, np.ndarray] | None" = None
+
+
+def preload(tables: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
+    """Install fitted (W1, b1, W2) — e.g. from kernels/artifacts.py —
+    winning over the deterministic defaults."""
+    global _PRELOADED
+    _PRELOADED = tuple(np.asarray(t, dtype=np.int64) for t in tables)
+    mlp_weights.cache_clear()
+
+
+def clear_preload() -> None:
+    global _PRELOADED
+    if _PRELOADED is not None:
+        _PRELOADED = None
+        mlp_weights.cache_clear()
+
+
+def bow_bucket(word: str, dim: int = MLP_IN) -> tuple[int, int]:
+    """(bucket, sign) of one word — first-8-hex md5 fold + digit-9
+    parity, 'ml:' domain (the cross-engine recipe)."""
+    h = hashlib.md5(("ml:" + word).encode("utf-8")).hexdigest()
+    return int(h[:8], 16) % dim, 1 if int(h[8], 16) % 2 == 0 else -1
+
+
+# ---------------------------------------------------------------------------
+# Spark expression serving (zero Python, zero shuffle)
+# ---------------------------------------------------------------------------
+
+def _word_sig(w: Column, dim: int) -> Column:
+    m = F.md5(F.concat(F.lit("ml:"), w))
+    bucket = F.pmod(F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint"),
+                    F.lit(dim)).cast("int")
+    sign = F.when(
+        F.pmod(F.conv(F.substring(m, 9, 1), 16, 10).cast("bigint"),
+               F.lit(2)) == 0,
+        F.lit(1).cast("bigint")).otherwise(F.lit(-1).cast("bigint"))
+    return F.struct(bucket.alias("bucket"), sign.alias("sign"))
+
+
+def _hid_fold(sigs: Column, w_lit: Column) -> Column:
+    """Closure factory (HOF arity rule): pre-activation of one hidden
+    unit — exact BIGINT sum of sign * W1[bucket] over the words."""
+    return F.aggregate(
+        sigs, F.lit(0).cast("bigint"),
+        lambda acc, s: acc + s["sign"] * F.element_at(w_lit,
+                                                      s["bucket"] + 1))
+
+
+def with_mlp_embedding(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, emb: array<bigint>[MLP_OUT]) — the expression-form encoder.
+    Hidden units are MLP_HID independent integer folds over the
+    materialized per-word (bucket, sign) array; relu + the output layer
+    are literal arithmetic over the MLP_HID hidden columns."""
+    w1, b1, w2 = mlp_weights()
+    from pii_redactor_spark.functions.rules import words_col
+    pre = (
+        docs
+        .withColumn("_words", words_col(F.col(text_col)))
+        .withColumn("_sigs", F.transform(
+            F.col("_words"), lambda w: _word_sig(w, len(w1))))
+    )
+    for j in range(len(b1)):
+        col_lit = F.expr("array({})".format(
+            ",".join(f"{int(w1[i][j])}L" for i in range(len(w1)))))
+        # coalesce: NULL text folds to the bias-only activation, exactly
+        # like the oracle's COALESCE(SUM(...), 0) (the dsir NULL-parity
+        # lesson from round-3 ADVICE)
+        pre = pre.withColumn(
+            f"_h{j}",
+            F.greatest(F.coalesce(_hid_fold(F.col("_sigs"), col_lit),
+                                  F.lit(0).cast("bigint"))
+                       + F.lit(int(b1[j])).cast("bigint"),
+                       F.lit(0).cast("bigint")))
+    outs = []
+    for k in range(w2.shape[1]):
+        term = F.lit(0).cast("bigint")
+        for j in range(len(b1)):
+            term = term + F.col(f"_h{j}") * F.lit(int(w2[j][k]))
+        outs.append(term)
+    return pre.select(id_col, F.array(*outs).alias("emb"))
+
+
+def make_mlp_embed_udf():
+    """Iterator pandas UDF twin: per-batch numpy scatter + two integer
+    matmuls — identical bits to the expression form (equality-tested in
+    test_encoder). Takes the pre-computed (bucket, sign) arrays so the
+    md5 hashing stays JVM-side (the simhash/BoW precedent)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def mlp(batches: Iterator[Tuple[pd.Series, pd.Series]]
+            ) -> Iterator[pd.Series]:
+        w1, b1, w2 = mlp_weights()
+        dim = len(w1)
+        for buckets, signs in batches:
+            n = len(buckets)
+            lens = np.array([0 if b is None else len(b) for b in buckets],
+                            dtype=np.int64)
+            x = np.zeros((n, dim), dtype=np.int64)
+            if lens.sum() > 0:
+                flatb = np.concatenate(
+                    [np.asarray(b, dtype=np.int64)
+                     for b in buckets if b is not None and len(b)])
+                flats = np.concatenate(
+                    [np.asarray(s, dtype=np.int64)
+                     for s in signs if s is not None and len(s)])
+                idx = np.repeat(np.arange(n), lens)
+                np.add.at(x, (idx, flatb), flats)
+            h = np.maximum(x @ w1 + b1, 0)
+            e = h @ w2
+            isnull = [b is None for b in buckets]
+            yield pd.Series([None if nz else list(row)
+                             for row, nz in zip(e, isnull)])
+
+    return mlp
+
+
+def mlp_embeddings_udf(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The UDF-served form of ``with_mlp_embedding`` (same output)."""
+    from pii_redactor_spark.functions.rules import words_col
+    pre = (
+        docs
+        .withColumn("_words", words_col(F.col(text_col)))
+        .withColumn("_sigs", F.transform(
+            F.col("_words"), lambda w: _word_sig(w, MLP_IN)))
+        .withColumn("_b", F.transform(F.col("_sigs"), lambda s: s["bucket"]))
+        .withColumn("_s", F.transform(F.col("_sigs"), lambda s: s["sign"]))
+    )
+    return pre.select(
+        id_col, make_mlp_embed_udf()(F.col("_b"), F.col("_s")).alias("emb"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle pieces
+# ---------------------------------------------------------------------------
+
+_ML_FOLD_SQL = (
+    "list_sum(list_transform(range(8), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('ml:' || w), "
+    "CAST(i+1 AS INT), 1)) - 1 AS BIGINT) * "
+    "CAST(power(16, 7 - i) AS BIGINT)))"
+)
+_ML_SIGN_SQL = (
+    "CASE WHEN (strpos('0123456789abcdef', substr(md5('ml:' || w), 9, 1))"
+    " - 1) % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+def mlp_embed_cte(table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    """WITH-prefix ending in ``emb`` = (id, e: BIGINT[MLP_OUT]) — the
+    whole network re-expressed relationally: per-word (bucket, sign)
+    rows, one SUM per hidden unit, relu via greatest, output layer as
+    literal linear combinations."""
+    from pii_redactor_spark.operators.dedup import _WORDS_SQL
+    w1, b1, w2 = mlp_weights()
+    dim, hid, out = len(w1), len(b1), w2.shape[1]
+    words = _WORDS_SQL.format(t=text_col)
+    wt_rows = ", ".join(
+        "({}, {})".format(i, ", ".join(str(int(w1[i][j]))
+                                       for j in range(hid)))
+        for i in range(dim))
+    wt_cols = ", ".join(f"c{j}" for j in range(hid))
+    sums = ", ".join(
+        f"COALESCE(SUM(p.sign * wt.c{j}), 0) AS p{j}" for j in range(hid))
+    hcols = ", ".join(
+        f"greatest(p{j} + {int(b1[j])}, 0) AS h{j}" for j in range(hid))
+    ecols = ", ".join(
+        " + ".join(f"h{j} * {int(w2[j][k])}" for j in range(hid))
+        for k in range(out))
+    return f"""
+WITH wt(bucket, {wt_cols}) AS (VALUES {wt_rows}),
+base AS (SELECT {id_col}, {words} AS ws FROM {table}),
+perword AS (
+  SELECT {id_col}, CAST({_ML_FOLD_SQL} % {dim} AS INT) AS bucket,
+         CAST({_ML_SIGN_SQL} AS BIGINT) AS sign
+  FROM (SELECT {id_col}, unnest(ws) AS w FROM base)),
+contrib AS (
+  SELECT b.{id_col}, {sums}
+  FROM base b LEFT JOIN perword p ON b.{id_col} = p.{id_col}
+  LEFT JOIN wt ON p.bucket = wt.bucket
+  GROUP BY b.{id_col}),
+hidden AS (SELECT {id_col}, {hcols} FROM contrib),
+emb AS (SELECT {id_col}, [{ecols}] AS e FROM hidden)"""
+
+
+def probe_vector(out_dim: int = MLP_OUT) -> list[int]:
+    """Fixed ±1 md5 probe — pins every output coordinate through one
+    exact BIGINT dot product (the text_embedding_summary trick)."""
+    return [1 if int(hashlib.md5(f"mp:{k}".encode()).hexdigest()[0],
+                     16) % 2 == 0 else -1
+            for k in range(out_dim)]
+
+
+def mlp_summary(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, emb_l2, argmax_pos, probe_dot) — contract-safe scalar view
+    of the MLP embedding (the driver's canonicalizer cannot hash raw
+    array cells). Sum of squares and the probe dot are exact BIGINT;
+    only the final L2 norm touches doubles."""
+    emb = with_mlp_embedding(docs, text_col, id_col)
+    probe = F.expr("array({})".format(
+        ",".join(f"{v}L" for v in probe_vector())))
+    sq = F.aggregate(
+        F.col("emb"), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x * x)
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), probe, lambda x, p: x * p),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return emb.select(
+        id_col,
+        F.round(F.sqrt(sq.cast("double")), 6).alias("emb_l2"),
+        F.array_position(F.col("emb"), F.array_max(F.col("emb")))
+        .cast("bigint").alias("argmax_pos"),
+        dot.alias("probe_dot"),
+    )
+
+
+def mlp_summary_oracle_sql(table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    probe = ", ".join(str(v) for v in probe_vector())
+    return f"""
+{mlp_embed_cte(table, text_col, id_col)}
+SELECT {id_col},
+       round(sqrt(CAST(list_sum(list_transform(e, x -> x * x))
+                       AS DOUBLE)), 6) AS emb_l2,
+       CAST(list_position(e, list_max(e)) AS BIGINT) AS argmax_pos,
+       CAST(list_sum(list_transform(list_zip(e, [{probe}]),
+                     p -> p[1] * p[2])) AS BIGINT) AS probe_dot
+FROM emb
+"""
+
+
+def mlp_ann(docs: DataFrame, k: int = 10, n_queries: int = 5,
+            text_col: str = "text", id_col: str = "doc_id",
+            udf_form: bool = False) -> DataFrame:
+    """Exact top-k cosine search over the MLP embeddings — the encoder
+    feeding the ANN family end-to-end (queries = lowest ids). The dot
+    products are integer-valued doubles < 2^53, so the cosine is
+    bit-identical across engines and fold orders."""
+    from pii_redactor_spark.operators.similarity import ann_bruteforce
+    embed = mlp_embeddings_udf if udf_form else with_mlp_embedding
+    emb = embed(docs, text_col, id_col).select(
+        F.col(id_col).alias("vec_id"), F.col("emb").alias("embedding"))
+    return ann_bruteforce(emb, k=k, n_queries=n_queries)
+
+
+def mlp_ann_oracle_sql(table: str = "documents", k: int = 10,
+                       n_queries: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    from pii_redactor_spark.operators.similarity import _cos_sql
+    return f"""
+{mlp_embed_cte(table, text_col, id_col)},
+vecs AS (
+  SELECT {id_col} AS vec_id,
+         list_transform(e, x -> CAST(x AS DOUBLE)) AS v
+  FROM emb),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+      WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, v FROM vecs WHERE vec_id >= {n_queries}),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
