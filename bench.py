@@ -36,6 +36,7 @@ HEADLINE = [
     "q_lang_stats",
     "q_topk_longest",
     "q_token_count",
+    "q_langid",
     "q_events_window",
     "q_events_sessions",
     "q_events_props_json",
@@ -62,11 +63,14 @@ HEADLINE = [
     "q_proto_prune",
     "q_host_rank",
     "q_text_embed",
+    "q_mlp_embed",
+    "q_ann_mlp",
     "q_decontaminate",
     "q_dsir",
     "q_dsir_gumbel",
     "q_split_hash",
     "q_pack",
+    "q_pack_rows",
     "q_vocab",
     "q_bpe",
     "q_url_dedup",
@@ -394,6 +398,89 @@ def run_skew(sf_dir: str, repl: int = 130, salt_k: int = 16) -> dict:
         spark.stop()
 
 
+def run_skew_clusters(sf_dir: str, repl: int = 5) -> dict:
+    """Skewed-CLUSTER evidence (round-3 verdict item 8): plant a corpus
+    where ~95% of vectors collapse into one k-means cluster, then run
+    the two cluster-bounded operators over it.
+
+    - semdedup's grouped Arrow pass: the pairwise matrix is row-blocked
+      (clustering.SEM_BLOCK), so the giant cluster costs
+      O(SEM_BLOCK * |cluster|) task memory — reported as
+      blocked_matrix_mb vs the dense |cluster|^2 matrix it replaces.
+      Pair COMPUTE stays quadratic by the operator's semantics; the
+      wall time documents what a runaway cluster costs, which is the
+      k-sizing signal (SemDeDup used 50k clusters for LAION).
+    - proto_prune: the per-cluster rank routes the giant cluster
+      through the bucketed two-phase rank (hot_threshold), so no
+      window partition ever holds the whole cluster — max window rows
+      reported (window skew is invisible to AQE; CLAUDE.md).
+    """
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.operators import clustering as km
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.session import ship_package
+
+    spark = get_spark(app_name="bench_skew_clusters", master="local[32]")
+    try:
+        ship_package(spark)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        big = (
+            emb.crossJoin(spark.range(repl).select(F.col("id").alias("_rep")))
+            .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * 1_000_000)
+            # 95% of vectors crushed into a tight blob around the origin
+            # (one cluster); every 20th keeps its scale (the spread tail)
+            .withColumn("embedding", F.expr(
+                "transform(embedding, x -> CAST(CASE WHEN vec_id % 20 = 0 "
+                "THEN x ELSE 0.01 * x END AS FLOAT))"))
+            .select("vec_id", "embedding", "label")
+            .repartition(32)
+        )
+        big = big.persist()
+        n = big.count()
+        cents = km.kmeans_fit(big)
+        sizes = km.kmeans_assign(big, cents).groupBy("cid").count().collect()
+        max_cluster = max(r["count"] for r in sizes)
+
+        sem = km.semdedup(big, cents=cents)
+        _force(sem)
+        t_sem = min(_timed(_force, km.semdedup(big, cents=cents))
+                    for _ in range(2))
+        release_caches()
+
+        hot_threshold = 2_000
+        pp = km.proto_prune(big, cents=cents, hot_threshold=hot_threshold)
+        _force(pp)
+        t_pp = min(_timed(
+            _force, km.proto_prune(big, cents=cents,
+                                   hot_threshold=hot_threshold))
+            for _ in range(2))
+        release_caches()
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        big.unpersist()
+        return {
+            "n_vecs": n,
+            "max_cluster_rows": max_cluster,
+            "semdedup": {
+                "sec": round(t_sem, 3),
+                "sem_block_rows": km.SEM_BLOCK,
+                "blocked_matrix_mb": round(
+                    km.SEM_BLOCK * max_cluster * 8 / 1e6, 1),
+                "dense_matrix_mb_avoided": round(
+                    max_cluster * max_cluster * 8 / 1e6, 1),
+            },
+            "proto_prune": {
+                "sec": round(t_pp, 3),
+                "hot_threshold": hot_threshold,
+                "max_window_rows_bound": max_cluster // num_buckets
+                + num_buckets,
+                "one_window_rows_avoided": max_cluster,
+            },
+        }
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -404,7 +491,12 @@ def main() -> None:
         print(json.dumps(out))
         return
     if "--skew" in sys.argv:
-        print(json.dumps(run_skew(sf_dir)))
+        out = run_skew(sf_dir)
+        out["cluster_skew"] = run_skew_clusters(sf_dir)
+        print(json.dumps(out))
+        return
+    if "--skew-clusters" in sys.argv:
+        print(json.dumps(run_skew_clusters(sf_dir)))
         return
     if "--scaling-components" in sys.argv:
         print(json.dumps(run_scaling_components(sf_dir)))

@@ -9,6 +9,10 @@ Subcommands:
                         resumable corpus pipeline (restart = resume)
   select  --input --output --method {dsir,semdedup,proto,urldedup}
                         data-selection job: score + cut, snapshot commit
+  build   --input --output-root --run-id [--frac --benchmark --artifacts]
+                        END-TO-END corpus build (plans/build.py):
+                        urlfilter→decontaminate→dedup→quality→select→
+                        pack, one snapshot per stage, resumable
   evaluate [--offset --limit --randomize --seed]
                         golden-fixture held-out evaluation
   scaling [--low --high]
@@ -123,7 +127,16 @@ def cmd_select(args) -> int:
 
     if args.frac is not None and args.method != "dsir":
         print(json.dumps({"error": "--frac applies to --method dsir only "
-                          "(semdedup cuts by tau, urldedup by canonical)"}))
+                          "(semdedup cuts by tau, proto by its keep_pct, "
+                          "urldedup by canonical)"}))
+        return 2
+    if args.frac is not None and not 0.0 < args.frac <= 1.0:
+        # dsir_select quantizes frac to whole percents
+        # (k = n * round(frac*100) // 100 — the oracle mirrors it), so
+        # out-of-range values would silently keep nothing or everything
+        print(json.dumps({"error": f"--frac must be in (0, 1], got "
+                          f"{args.frac}; note frac is quantized to "
+                          "whole percents (0.125 -> 13%)"}))
         return 2
 
     spark = get_spark(app_name="select")
@@ -187,6 +200,45 @@ def cmd_select(args) -> int:
     print(json.dumps({"method": args.method, "n_in": n_in,
                       "n_kept": n_kept,
                       "snapshot": out.current_snapshot_id()}))
+    return 0
+
+
+def cmd_build(args) -> int:
+    """End-to-end corpus build (plans/build.py): urlfilter →
+    decontaminate → dedup → quality(scrub) → select → pack, one
+    lineage-tracked snapshot per stage, resumable mid-chain AND
+    mid-quality-stage with the same --run-id."""
+    from pii_redactor_spark.plans.build import build_job
+
+    if not 0.0 < args.frac <= 1.0:
+        print(json.dumps({"error": f"--frac must be in (0, 1], got "
+                          f"{args.frac}"}))
+        return 2
+    spark = get_spark(app_name="build")
+    ship_package(spark)
+    pages = spark.read.parquet(args.input)
+    thresholds = None
+    artifacts = None
+    from pii_redactor_spark.kernels.artifacts import (
+        load_tables, load_thresholds, resolve_artifacts_dir)
+    art_dir = resolve_artifacts_dir(args.artifacts)
+    if art_dir:
+        try:
+            artifacts = load_tables(art_dir)
+        except FileNotFoundError:
+            artifacts = None
+        try:
+            thresholds = load_thresholds(art_dir)
+        except FileNotFoundError:
+            thresholds = None
+    benchmark = (spark.read.parquet(args.benchmark)
+                 if args.benchmark else None)
+    out = build_job(spark, pages, args.output_root, run_id=args.run_id,
+                    n_buckets=args.n_buckets, frac=args.frac,
+                    benchmark=benchmark, thresholds=thresholds,
+                    artifacts=artifacts)
+    out["artifacts_dir"] = art_dir
+    print(json.dumps(out))
     return 0
 
 
@@ -260,10 +312,27 @@ def main(argv: list[str] | None = None) -> int:
     sel.add_argument("--method", choices=("dsir", "semdedup", "proto", "urldedup"),
                      default="dsir")
     sel.add_argument("--frac", type=float, default=None,
-                     help="dsir only: keep fraction (default 0.25)")
+                     help="dsir only: keep fraction in (0, 1], quantized"
+                          " to whole percents (default 0.25)")
     sel.add_argument("--artifacts", default=None,
-                     help="semdedup: reuse/commit the fitted quantizer")
+                     help="semdedup/proto: reuse/commit the fitted "
+                          "quantizer")
     sel.set_defaults(fn=cmd_select)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output-root", required=True)
+    b.add_argument("--run-id", default="build")
+    b.add_argument("--n-buckets", type=int, default=8)
+    b.add_argument("--frac", type=float, default=0.25,
+                   help="select stage: DSIR keep fraction in (0, 1]")
+    b.add_argument("--benchmark", default=None,
+                   help="parquet of benchmark items to decontaminate "
+                        "against (default: the doc_id%%37 sample)")
+    b.add_argument("--artifacts", default=None,
+                   help="fitted kernel tables + thresholds for the "
+                        "quality stage")
+    b.set_defaults(fn=cmd_build)
 
     f = sub.add_parser("fit")
     f.add_argument("--input", required=True)

@@ -188,6 +188,15 @@ def kmeans_stats(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     )
 
 
+SEM_BLOCK = 2048           # pairwise-matrix row-block size: peak task
+                           # memory is O(SEM_BLOCK * |cluster|) floats,
+                           # never O(|cluster|^2) (round-3 ADVICE)
+SEM_CLUSTER_WARN = 200_000  # log when a cluster exceeds this — pair
+                            # WORK is still quadratic per cluster, the
+                            # signal that k must scale with the corpus
+                            # (SemDeDup used 50k clusters for LAION)
+
+
 def _semdedup_flags_arrow(assigned: DataFrame, tau: float) -> DataFrame:
     """Within-cluster dup flags via ONE grouped Arrow pass: each cid
     group crosses to Python once; the pairwise cosine matrix is built by
@@ -197,25 +206,46 @@ def _semdedup_flags_arrow(assigned: DataFrame, tau: float) -> DataFrame:
     per-vector self-dots (identical bits to the per-pair
     sqrt(dot(a,a)) the oracle computes). This is the sanctioned
     Arrow/numpy hop (CLAUDE.md): 250k interpreted zip_with pairs at
-    sf0.1 are allocation-bound exactly like the simhash per-bit case."""
+    sf0.1 are allocation-bound exactly like the simhash per-bit case.
+
+    The matrix is computed in SEM_BLOCK-row blocks against the id-sorted
+    prefix (row i only needs columns j < i), so a runaway cluster costs
+    bounded MEMORY per task (the quadratic dense-matrix blowup was the
+    round-3 ADVICE item); compute stays O(|cluster|^2) by the semantics
+    — controlled by sizing k, which the SEM_CLUSTER_WARN log flags."""
 
     def flag(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         V = np.stack(pdf["v"].to_numpy())          # n x dim float64
         n, dim = V.shape
-        D = np.zeros((n, n))
+        if n > SEM_CLUSTER_WARN:
+            import logging
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster of %d rows (> %d) — pair work is "
+                "quadratic per cluster; increase k so clusters shrink",
+                n, SEM_CLUSTER_WARN)
         s = np.zeros(n)
         for d in range(dim):                       # left-to-right fold
             col = V[:, d]
-            D += np.outer(col, col)
             s += col * col
         norm = np.sqrt(s)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            C = D / np.outer(norm, norm)
-        # Spark and DuckDB both order NaN ABOVE every number, so the
-        # expression/oracle path flags a 0/0 cosine (zero-norm vector)
-        # as >= tau; mirror that here instead of numpy's NaN>=x = False
-        dup = np.tril((C >= tau) | np.isnan(C), -1).any(axis=1)
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, SEM_BLOCK):
+            hi = min(lo + SEM_BLOCK, n)
+            D = np.zeros((hi - lo, hi))            # block x prefix
+            for d in range(dim):                   # left-to-right fold
+                col = V[:, d]
+                D += np.outer(col[lo:hi], col[:hi])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                C = D / np.outer(norm[lo:hi], norm[:hi])
+            # Spark and DuckDB both order NaN ABOVE every number, so
+            # the expression/oracle path flags a 0/0 cosine (zero-norm
+            # vector) as >= tau; mirror that here instead of numpy's
+            # NaN>=x = False. Row i may only match columns j < i.
+            hit = (C >= tau) | np.isnan(C)
+            mask = (np.arange(hi)[None, :]
+                    < np.arange(lo, hi)[:, None])
+            dup[lo:hi] = (hit & mask).any(axis=1)
         return pd.DataFrame({"vec_id": pdf["vec_id"],
                              "cid": pdf["cid"],
                              "is_dup": dup})

@@ -120,10 +120,19 @@ def _scored_df(docs: DataFrame, text_col: str, id_col: str,
         .withColumn("_words", words_col(F.col(text_col)))
         .withColumn("_buckets", F.transform(
             F.col("_words"), lambda w: _bucket_expr(w, dim)))
-        .withColumn("_s", F.aggregate(
-            F.col("_buckets"), F.lit(0).cast("bigint"),
-            lambda acc, bk: acc + F.element_at(lr_lit, bk + 1)))
-        .select(id_col, F.size("_buckets").alias("n_words"),
+        # coalesce: NULL text folds to NULL, but the oracle's
+        # COALESCE(c.s, 0) scores such a doc 0 and returns a real
+        # `selected` boolean — mirror it (round-3 ADVICE)
+        .withColumn("_s", F.coalesce(
+            F.aggregate(
+                F.col("_buckets"), F.lit(0).cast("bigint"),
+                lambda acc, bk: acc + F.element_at(lr_lit, bk + 1)),
+            F.lit(0).cast("bigint")))
+        .select(id_col,
+                # size(NULL) is -1 under Spark's legacy default; the
+                # oracle's len(NULL) is NULL — mirror the oracle
+                F.when(F.col("_buckets").isNotNull(),
+                       F.size("_buckets")).alias("n_words"),
                 F.col("_s").alias("_s"))
     )
 

@@ -259,10 +259,18 @@ def ann_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
     # replaces the default per-label means (the oracle pins the default)
     if centroid_rows is None:
         centroid_rows = _centroids(emb).collect()
-    centroid_rows = [
-        {"label": r[0], "cv": r[1]} if isinstance(r, tuple) else r
-        for r in centroid_rows
-    ]
+
+    def _norm(r):
+        # pyspark Row subclasses tuple, so field-name access must win
+        # over the positional branch (round-3 ADVICE: a Row with
+        # (cv, label) field order would silently swap centroids)
+        if hasattr(r, "__fields__"):
+            return {"label": r["label"], "cv": r["cv"]}
+        if isinstance(r, tuple):  # (cid, cv) artifact tuples
+            return {"label": r[0], "cv": r[1]}
+        return r
+
+    centroid_rows = [_norm(r) for r in centroid_rows]
     cents = _centroid_literal(centroid_rows)
 
     # per-query top-nprobe lists: comparator sort (ccos desc, label asc)

@@ -1,0 +1,234 @@
+"""One-command corpus build: the whole training-data pipeline as one
+lineage-tracked chain (round-3 verdict item 6 — the reference's
+``--optimize`` is a single command, reference: main.py:66-75; the
+engine's end-to-end corpus story is ``cli build``).
+
+Stages, each committing ONE snapshot-isolated table under
+``<output_root>/NN_<stage>`` plus a metrics/lineage row:
+
+    urlfilter     C4-style pre-text URL gate (functions/url_rules.py)
+    decontaminate GPT-3-appendix-C n-gram benchmark overlap drop
+    dedup         LSH near-dup components rewrite, keep-one-rep
+    quality       langid + perplexity + rules + PII scrub (the
+                  resumable bucket loop — run_resumable — so a kill
+                  INSIDE this stage resumes mid-corpus); text becomes
+                  the scrubbed text from here on
+    select        DSIR top-fraction importance resampling
+    pack          concat-then-chunk sequence assignment at the fixed
+                  token budget (the tokenizer-writer handoff)
+
+Resume semantics: every completed stage's CURRENT snapshot carries
+``lineage = {run_id, stage, complete: true}``; a re-run with the same
+``run_id`` skips straight past completed stages (reading their committed
+snapshots), re-enters the quality stage's own bucket-level resume if it
+was mid-flight, and continues the chain. A different ``run_id`` rebuilds
+from scratch (new lineage roots via overwrite).
+
+Scale notes: stages only ever append/overwrite through tables.py
+(snapshot isolation, bucket partitioning on the quality stage); each
+stage's plan is the same one its contract query runs (broadcast
+decontamination, verified-components dedup, fused one-ArrowEvalPython
+quality kernel, TakeOrdered DSIR cut, bounded prefix-scan pack).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.tables import IcebergishTable, MetricsTable
+
+STAGE_ORDER = ("urlfilter", "decontaminate", "dedup", "quality",
+               "select", "pack")
+
+
+def stage_table(output_root: str | Path, name: str) -> IcebergishTable:
+    idx = STAGE_ORDER.index(name)
+    return IcebergishTable(Path(output_root) / f"{idx:02d}_{name}")
+
+
+def _complete(tbl: IcebergishTable, run_id: str, stage: str) -> bool:
+    snap = tbl.snapshot()
+    return bool(snap and snap.lineage
+                and snap.lineage.get("run_id") == run_id
+                and snap.lineage.get("stage") == stage
+                and snap.lineage.get("complete"))
+
+
+def build_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_root: str | Path,
+    run_id: str,
+    n_buckets: int = 8,
+    frac: float = 0.25,
+    benchmark: DataFrame | None = None,
+    thresholds=None,
+    artifacts=None,
+    fail_after_stage: str | None = None,
+) -> dict:
+    """Run (or resume) the whole chain; returns the per-stage summary.
+    ``fail_after_stage`` injects a crash after that stage commits — the
+    mid-chain-kill test hook (run_resumable's fail_after_commits
+    covers the intra-stage crash window)."""
+    root = Path(output_root)
+    metrics = MetricsTable(root / "metrics")
+    if "url" not in pages.columns:
+        pages = pages.withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id")))
+
+    stages: list[dict] = []
+    current = pages
+
+    def commit_stage(name: str, out_df: DataFrame, n_in: int,
+                     t0: float) -> DataFrame:
+        tbl = stage_table(root, name)
+        tbl.overwrite(out_df, lineage={
+            "run_id": run_id, "stage": name, "complete": True})
+        n_out = tbl.read(spark).count()
+        metrics.log(spark, [{
+            "run_id": run_id, "stage": f"build:{name}", "bucket": None,
+            "n_docs": n_in, "kept": n_out, "dropped": n_in - n_out,
+            "scrubbed": None, "elapsed_s": time.time() - t0,
+            "ts": time.time(),
+        }])
+        stages.append({"stage": name, "n_in": n_in, "n_out": n_out,
+                       "resumed": False,
+                       "snapshot": tbl.current_snapshot_id()})
+        return tbl.read(spark)
+
+    def skip_stage(name: str) -> DataFrame:
+        tbl = stage_table(root, name)
+        df = tbl.read(spark)
+        stages.append({"stage": name, "n_in": None, "n_out": df.count(),
+                       "resumed": True,
+                       "snapshot": tbl.current_snapshot_id()})
+        return df
+
+    def maybe_fail(name: str) -> None:
+        if fail_after_stage == name:
+            raise RuntimeError(
+                f"injected failure after stage {name} (test hook)")
+
+    from pii_redactor_spark.operators.cache import release_caches
+
+    # -- urlfilter ----------------------------------------------------------
+    name = "urlfilter"
+    if _complete(stage_table(root, name), run_id, name):
+        current = skip_stage(name)
+    else:
+        from pii_redactor_spark.functions.url_rules import with_url_rules
+        t0 = time.time()
+        n_in = current.count()
+        kept = (with_url_rules(current)
+                .filter(F.col("url_keep"))
+                .drop("host", "path", "url_reasons", "url_keep"))
+        current = commit_stage(name, kept, n_in, t0)
+    maybe_fail(name)
+
+    # -- decontaminate --------------------------------------------------------
+    name = "decontaminate"
+    if _complete(stage_table(root, name), run_id, name):
+        current = skip_stage(name)
+    else:
+        from pii_redactor_spark.operators.decontaminate import contamination
+        t0 = time.time()
+        n_in = current.count()
+        bench = benchmark if benchmark is not None else \
+            current.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+        kept = (contamination(current, bench)
+                .filter(~F.col("contaminated"))
+                .drop("shared_ngrams", "contaminated"))
+        current = commit_stage(name, kept, n_in, t0)
+    maybe_fail(name)
+
+    # -- dedup ----------------------------------------------------------------
+    name = "dedup"
+    if _complete(stage_table(root, name), run_id, name):
+        current = skip_stage(name)
+    else:
+        from pii_redactor_spark.plans.dedup_job import dedup_corpus
+        t0 = time.time()
+        n_in = current.count()
+        kept = dedup_corpus(current)
+        current = commit_stage(name, kept, n_in, t0)
+        release_caches()  # band/shingle/CC persists from the operators
+    maybe_fail(name)
+
+    # -- quality (bucket-resumable inside the stage) ---------------------------
+    name = "quality"
+    qtbl = stage_table(root, name)
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+    from pii_redactor_spark.tables import run_resumable
+    t0 = time.time()
+    n_in = current.count()
+    pass_cols = [c for c in ("doc_id", "lang", "n_chars")
+                 if c in current.columns]
+    commits = run_resumable(
+        spark, current, qtbl, metrics, run_id=run_id, stage=name,
+        n_buckets=n_buckets,
+        transform=lambda df: run_pipeline(
+            df, thresholds=thresholds, allowed_langs=("en",),
+            max_ppl=50.0, artifacts=artifacts)
+        .select("url", *pass_cols,
+                F.col("scrubbed_text").alias("text"),
+                "lang_pred", "ppl", "n_redactions", "keep", "bucket"),
+    )
+    qdf = qtbl.read(spark)
+    stages.append({"stage": name, "n_in": n_in,
+                   "n_out": qdf.count(),
+                   "resumed": commits == 0,
+                   "commits_this_run": commits,
+                   "snapshot": qtbl.current_snapshot_id()})
+    current = qdf.filter(F.col("keep")).drop("keep")
+    maybe_fail(name)
+
+    # -- select ---------------------------------------------------------------
+    name = "select"
+    if _complete(stage_table(root, name), run_id, name):
+        current = skip_stage(name)
+    else:
+        from pii_redactor_spark.operators.dsir import dsir_select
+        t0 = time.time()
+        n_in = current.count()
+        flags = dsir_select(current, frac=frac)
+        keep_ids = flags.filter(F.col("selected")).select("doc_id")
+        kept = current.join(keep_ids, "doc_id", "left_semi")
+        current = commit_stage(name, kept, n_in, t0)
+        release_caches()  # dsir's persisted scoring projection
+    maybe_fail(name)
+
+    # -- pack -----------------------------------------------------------------
+    name = "pack"
+    if _complete(stage_table(root, name), run_id, name):
+        skip_stage(name)
+    else:
+        from pii_redactor_spark.contract import SEQ_TOKENS, _BPE_RE
+        from pii_redactor_spark.operators.cache import registered_persist
+        from pii_redactor_spark.operators.ranking import global_prefix_sum
+        t0 = time.time()
+        n_in = current.count()
+        toks = registered_persist(current.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(
+                F.col("text"), F.lit(_BPE_RE), 0)).alias("n_tokens")))
+        pre = global_prefix_sum(toks, "doc_id", "n_tokens",
+                                sum_name="start_off")
+        b = SEQ_TOKENS
+        packed = pre.select(
+            "doc_id", "n_tokens", "start_off",
+            F.expr(f"start_off div {b}").alias("seq_idx"),
+            F.when(F.col("n_tokens") > 0,
+                   F.expr(f"(start_off + n_tokens - 1) div {b}")
+                   - F.expr(f"start_off div {b}") + F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
+        )
+        commit_stage(name, packed, n_in, t0)
+        release_caches()
+    maybe_fail(name)
+
+    return {"run_id": run_id, "stages": stages,
+            "metrics_rows": metrics.read(spark).count()}

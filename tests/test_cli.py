@@ -227,3 +227,47 @@ def test_select_proto(spark, capsys, tmp_path):
     # hardest-25%-per-cluster: close to n/4, exact value set by
     # per-cluster flooring with the at-least-one guard
     assert 100 <= got["n_kept"] <= 132
+
+
+def test_build_end_to_end_with_midchain_kill_resume(spark, capsys, tmp_path):
+    """The one-command corpus build (plans/build.py): kill the chain
+    after the dedup stage, re-run with the same run-id, and verify the
+    completed stages are SKIPPED (same snapshot ids, resumed=True) while
+    the rest of the chain completes; final pack table covers exactly the
+    selected docs."""
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.plans.build import build_job, stage_table
+
+    pages = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = tmp_path / "corpus"
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_job(spark, pages, root, run_id="b1",
+                  fail_after_stage="dedup")
+    release_caches()
+    snaps_before = {n: stage_table(root, n).current_snapshot_id()
+                    for n in ("urlfilter", "decontaminate", "dedup")}
+
+    out = build_job(spark, pages, root, run_id="b1")
+    release_caches()
+    by_stage = {s["stage"]: s for s in out["stages"]}
+    # the three committed stages resumed from their snapshots untouched
+    for n, snap in snaps_before.items():
+        assert by_stage[n]["resumed"] is True
+        assert by_stage[n]["snapshot"] == snap
+    # the chain funnels monotonically after the url gate
+    assert by_stage["decontaminate"]["n_out"] < 500
+    assert by_stage["dedup"]["n_out"] <= by_stage["decontaminate"]["n_out"]
+    assert by_stage["quality"]["n_out"] == by_stage["dedup"]["n_out"]
+    qdf = stage_table(root, "quality").read(spark)
+    kept = qdf.filter("keep").count()
+    assert by_stage["select"]["n_in"] == kept
+    assert by_stage["select"]["n_out"] == (kept * 25) // 100
+    assert by_stage["pack"]["n_out"] == by_stage["select"]["n_out"]
+    # quality stage output text is the SCRUBBED text (the training text)
+    assert "text" in qdf.columns and "scrubbed_text" not in qdf.columns
+
+    # a second full re-run is a pure no-op: every stage resumes
+    out2 = build_job(spark, pages, root, run_id="b1")
+    release_caches()
+    assert all(s["resumed"] for s in out2["stages"])

@@ -153,6 +153,33 @@ def test_semdedup_arrow_matches_expression(emb):
     assert a == b
 
 
+def test_semdedup_blocked_matrix_matches_unblocked(emb, monkeypatch):
+    """Row-blocking the pairwise matrix (round-3 ADVICE memory fix) is
+    bit-neutral: force many tiny blocks on a planted ONE-GIANT-CLUSTER
+    corpus (every vector near one centroid — the skew case) and compare
+    against the expression path."""
+    from pii_redactor_spark.operators.cache import release_caches
+    spark = emb.sparkSession
+    from pyspark.sql import functions as F
+    # ~95% of vectors crushed into a tight blob around the origin (one
+    # giant cluster), every 20th keeps its scale (the spread tail) —
+    # the bench.py run_skew_clusters recipe
+    crushed = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(CASE WHEN vec_id % 20 = 0 "
+               "THEN x ELSE 0.01 * x END AS FLOAT))").alias("embedding"),
+        "label")
+    monkeypatch.setattr(km, "SEM_BLOCK", 37)  # force ~13 ragged blocks
+    a = {(r["vec_id"], r["is_dup"])
+         for r in km.semdedup(crushed).collect()}
+    b = {(r["vec_id"], r["is_dup"])
+         for r in km.semdedup(crushed, arrow=False).collect()}
+    release_caches()
+    assert a == b
+    sizes = (km.kmeans(crushed).groupBy("cid").count().collect())
+    assert max(r["count"] for r in sizes) >= 400  # the skew is real
+
+
 def test_kmeans_centroids_lift_ivf_recall(emb):
     """The fit->serve link: swapping the fitted Lloyd centroids into
     ann_ivf's coarse quantizer lifts recall over the label-mean

@@ -57,6 +57,19 @@ def test_empty_doc_scores_zero(spark):
     assert out[1]["dsir_logw"] == 0.0
 
 
+def test_null_text_scores_zero_like_oracle(spark):
+    """NULL text must mirror the oracle's COALESCE(c.s, 0): logw 0.0, a
+    real boolean decision, and NULL n_words (len(NULL) is NULL in
+    DuckDB) — round-3 ADVICE latent-parity fix."""
+    df = spark.createDataFrame(
+        [(0, "some plain words here"), (1, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dsir.dsir_select(df, frac=0.5).collect()}
+    assert out[1]["n_words"] is None
+    assert out[1]["dsir_logw"] == 0.0
+    assert out[1]["selected"] in (True, False)
+
+
 def test_scoring_plan_has_no_window_or_shuffle(docs):
     """Selection is a literal threshold comparison: the main plan must
     be projection-only (the boundary came from a separate TakeOrdered

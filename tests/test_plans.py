@@ -241,3 +241,21 @@ def test_host_cap_windows_are_salted_two_phase(spark, docs):
     # first (inner) window keyed by host AND salt
     assert "windowspecdefinition(host" in plan
     assert "_salt" in plan
+
+
+def test_langid_expr_is_projection_only(spark):
+    # round-4: the oracle-gated langid serving path must stay a pure
+    # projection over the scan (zero Python, zero shuffle)
+    from pii_redactor_spark.contract import QUERIES
+    plan = _plan(QUERIES["q_langid"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pack_rows_never_single_partition(spark):
+    # the exploded writer rows ride the same bounded prefix scan as
+    # q_pack: broadcast offsets, no global window, no SinglePartition
+    from pii_redactor_spark.contract import QUERIES
+    plan = _plan(QUERIES["q_pack_rows"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" in plan
