@@ -73,6 +73,7 @@ HEADLINE = [
     "q_pack_rows",
     "q_vocab",
     "q_bpe",
+    "q_pack_bpe",
     "q_url_dedup",
     "q_worstk_ppl",
     "q_pipeline_full",

@@ -1690,6 +1690,62 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe.bpe_columns(docs, merges)
 
 
+# ---------------------------------------------------------------------------
+# BPE-tokenized sequence packing: the tokenizer fit feeding the
+# batch-prep step end to end — token counts come from the FITTED BPE
+# encoder (the counts a trainer actually packs by) instead of the
+# regex stand-in, then ride the same bounded prefix scan as q_pack.
+# The oracle chains the checksum-pinned merge tables into the
+# window-prefix CTE. Fitted merges ship via kernels/artifacts.py
+# save_bpe/load_bpe (round-trip tested).
+# ---------------------------------------------------------------------------
+def _pack_bpe_oracle_one(merges: list[tuple[str, str]]) -> str:
+    return f"""
+WITH b AS ({_bpe.bpe_oracle_sql(merges)}),
+pre AS (
+  SELECT doc_id, n_bpe_tokens AS n_tokens,
+         COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM b)
+SELECT doc_id, n_tokens, start_off,
+       start_off // {SEQ_TOKENS} AS seq_idx,
+       CASE WHEN n_tokens > 0 THEN
+         (start_off + n_tokens - 1) // {SEQ_TOKENS}
+           - start_off // {SEQ_TOKENS} + 1
+       ELSE 0 END AS n_seqs
+FROM pre"""
+
+
+_PACK_BPE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT * FROM ({_pack_bpe_oracle_one(merges)})
+    WHERE (SELECT sum(n_chars) FROM documents) = {chk}"""
+    for chk, merges in _BPE_FROZEN.items()
+)
+
+
+@register("q_pack_bpe", oracle=_PACK_BPE_ORACLE)
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.operators.cache import registered_persist
+    from pii_redactor_spark.operators.ranking import global_prefix_sum
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe.fit_bpe_merges(_bpe.bpe_word_counts(docs))
+    toks = registered_persist(
+        _bpe.bpe_columns(docs, merges)
+        .select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")))
+    pre = global_prefix_sum(toks, "doc_id", "n_tokens",
+                            sum_name="start_off")
+    b = SEQ_TOKENS
+    return pre.select(
+        "doc_id", "n_tokens", "start_off",
+        F.expr(f"start_off div {b}").alias("seq_idx"),
+        F.when(F.col("n_tokens") > 0,
+               F.expr(f"(start_off + n_tokens - 1) div {b}")
+               - F.expr(f"start_off div {b}") + F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
+    )
+
+
 @register("q_proto_prune", oracle=_km.proto_prune_oracle_sql())
 def q_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sorscher-et-al prototype pruning: keep the hardest 25% per

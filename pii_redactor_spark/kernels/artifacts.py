@@ -153,6 +153,29 @@ def load_artifacts(path: str | Path) -> dict:
     return t["manifest"]
 
 
+BPE_MERGES_FILE = "bpe_merges.json"
+
+
+def save_bpe(path: str | Path, merges: list[tuple[str, str]]) -> None:
+    """Persist a corpus-fitted BPE merge table (operators/bpe.py
+    fit_bpe_merges output) — corpus-fitted state like centroids, so
+    written at job time, not by save_artifacts."""
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / BPE_MERGES_FILE).write_text(
+        json.dumps([[x, y] for x, y in merges]))
+
+
+def load_bpe(path: str | Path) -> list[tuple[str, str]]:
+    """Load a fitted merge table; FileNotFoundError if absent. JSON
+    round-trips the (unicode) symbol pairs exactly, so serving from the
+    artifact is the same replace chain as serving from the fit."""
+    f = Path(path) / BPE_MERGES_FILE
+    if not f.exists():
+        raise FileNotFoundError(f)
+    return [(x, y) for x, y in json.loads(f.read_text())]
+
+
 CENTROIDS = "centroids.npz"
 
 

@@ -193,18 +193,16 @@ class IcebergishTable:
         return sorted(done)
 
     # -- reads ----------------------------------------------------------------
-    def read(self, spark: SparkSession,
-             snapshot_id: int | None = None) -> DataFrame | None:
-        """Snapshot-isolated read: only dirs listed in the manifest."""
-        snap = self.snapshot(snapshot_id)
-        if snap is None or not snap.data_dirs:
+    def _read_dirs(self, spark: SparkSession,
+                   dirs: list[str]) -> DataFrame | None:
+        if not dirs:
             return None
         # each data dir is its own partition-discovery root (the dirs are
         # commit units, not partition values) — union the per-commit scans
         dfs = [
             spark.read.option("basePath", str(self.data_root / d))
             .parquet(str(self.data_root / d))
-            for d in snap.data_dirs
+            for d in dirs
         ]
         out = dfs[0]
         for df in dfs[1:]:
@@ -214,6 +212,32 @@ class IcebergishTable:
             # new columns instead of failing the whole read
             out = out.unionByName(df, allowMissingColumns=True)
         return out
+
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        """Snapshot-isolated read: only dirs listed in the manifest."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return None
+        return self._read_dirs(spark, snap.data_dirs)
+
+    def read_incremental(self, spark: SparkSession,
+                         since_snapshot_id: int | None) -> DataFrame | None:
+        """Rows committed strictly AFTER ``since_snapshot_id`` — the
+        Iceberg incremental-read emulation: the manifest diff of data
+        dirs (CURRENT minus the old snapshot's list), no row-level
+        bookkeeping and no re-scan of already-processed commits. After
+        an overwrite (new lineage root) every current dir counts as
+        new; ``None`` means nothing new. ``since_snapshot_id=None``
+        reads everything (first incremental pass)."""
+        cur = self.snapshot()
+        if cur is None:
+            return None
+        old = self.snapshot(since_snapshot_id) \
+            if since_snapshot_id is not None else None
+        old_dirs = set(old.data_dirs) if old else set()
+        return self._read_dirs(
+            spark, [d for d in cur.data_dirs if d not in old_dirs])
 
     def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
         """Time travel to an older snapshot."""

@@ -115,3 +115,16 @@ def test_sentinel_and_line_separator_input_is_safe(spark):
     assert out[0]["n_bpe_tokens"] == 3
     assert out[1]["n_base_tokens"] == 2      # x, y — U+2028 is a gap
     assert out[2]["n_bpe_tokens"] == 5
+
+
+def test_bpe_merges_artifact_roundtrip(docs, tmp_path):
+    from pii_redactor_spark.kernels.artifacts import load_bpe, save_bpe
+    merges = bpe.fit_bpe_merges(bpe.bpe_word_counts(docs))
+    save_bpe(tmp_path / "art", merges)
+    loaded = load_bpe(tmp_path / "art")
+    assert loaded == merges  # exact symbol pairs -> same replace chain
+    a = {r["doc_id"]: tuple(r) for r in bpe.bpe_columns(docs, merges)
+         .limit(50).collect()}
+    b = {r["doc_id"]: tuple(r) for r in bpe.bpe_columns(docs, loaded)
+         .limit(50).collect()}
+    assert a == b

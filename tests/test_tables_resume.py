@@ -229,3 +229,30 @@ def test_metrics_lineage_rows(spark, docs, tmp_path):
     assert total == docs.count()
     assert all(r["kept"] is not None and r["kept"] <= r["n_docs"]
                for r in rows)
+
+
+def test_read_incremental_is_manifest_diff(spark, tmp_path):
+    """Iceberg incremental-read emulation: only rows committed after the
+    given snapshot come back (a manifest data-dir diff, no re-scan of
+    processed commits); overwrite resets the diff base."""
+    from pii_redactor_spark.tables import IcebergishTable
+    t = IcebergishTable(tmp_path / "t")
+    df1 = spark.createDataFrame([(1,), (2,)], "v long")
+    df2 = spark.createDataFrame([(3,)], "v long")
+    df3 = spark.createDataFrame([(4,), (5,)], "v long")
+    s1 = t.append(df1).snapshot_id
+    assert {r["v"] for r in t.read_incremental(spark, None).collect()} \
+        == {1, 2}
+    t.append(df2)
+    s2 = t.current_snapshot_id()
+    assert {r["v"] for r in t.read_incremental(spark, s1).collect()} == {3}
+    t.append(df3)
+    assert {r["v"] for r in t.read_incremental(spark, s1).collect()} \
+        == {3, 4, 5}
+    assert {r["v"] for r in t.read_incremental(spark, s2).collect()} \
+        == {4, 5}
+    # nothing new after the latest snapshot
+    assert t.read_incremental(spark, t.current_snapshot_id()) is None
+    # overwrite starts a new lineage root: everything is new again
+    t.overwrite(spark.createDataFrame([(9,)], "v long"))
+    assert {r["v"] for r in t.read_incremental(spark, s2).collect()} == {9}
