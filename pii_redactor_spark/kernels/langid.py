@@ -216,18 +216,64 @@ def _lang_score(bk_col, w_lit):
                        lambda acc, bk: acc + F.element_at(w_lit, bk + 1))
 
 
+def make_langid_score_udf(dim: int = LANGID_EXPR_DIM):
+    """Arrow twin of the per-language score folds: one segmented
+    gather-sum per language over the pre-computed bigram-bucket arrays
+    (md5 bucketing stays JVM-side), argmax with first-max tie-break —
+    np.argmax returns the FIRST maximum, which is exactly the
+    >=-CASE chain's earliest-language-wins semantics. Integer
+    arithmetic end to end, so bit-identical to the expression form
+    (equality-tested in test_rules_kernels)."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        langs, W = fit_langid_expr(dim)
+        Wt = np.ascontiguousarray(W)            # L x dim int64
+        for buckets in batches:
+            n = len(buckets)
+            lens = np.array([0 if b is None else len(b) for b in buckets],
+                            dtype=np.int64)
+            out = [None] * n
+            if lens.sum() > 0:
+                flat = np.concatenate(
+                    [np.asarray(b, dtype=np.int64)
+                     for b in buckets if b is not None and len(b)])
+                seg = np.zeros(len(buckets) + 1, dtype=np.int64)
+                np.cumsum(lens, out=seg[1:])
+                gathered = Wt[:, flat]          # L x total
+                sums = np.add.reduceat(gathered, seg[:-1], axis=1)
+                sums[:, lens == 0] = 0          # reduceat artifacts
+                best = np.argmax(sums, axis=0)
+                for i in range(n):
+                    if lens[i] > 0:
+                        out[i] = langs[int(best[i])]
+            yield pd.Series(out, index=buckets.index, dtype=object)
+
+    return score
+
+
 def langid_expr_columns(docs: "DataFrame", text_col: str = "text",
                         id_col: str = "doc_id",
                         extra_cols: tuple[str, ...] = (),
-                        dim: int = LANGID_EXPR_DIM) -> "DataFrame":
-    """(id, *extra_cols, lang_pred): expression-only language ID.
+                        dim: int = LANGID_EXPR_DIM,
+                        vectorized: bool = True) -> "DataFrame":
+    """(id, *extra_cols, lang_pred): the oracle-gated language-ID
+    serving path.
 
     Char bigrams are built with zip_with over two slices of the char
     array (slices evaluate their input once per row — positional
     element_at inside a transform re-evaluates the captured array PER
     ELEMENT when CollapseProject inlines it, the O(n^2) trap in
     CLAUDE.md). Documents shorter than 2 chars (or NULL) predict NULL,
-    matching the oracle's length guard."""
+    matching the oracle's length guard.
+
+    ``vectorized=True`` (default) runs the five per-language score
+    folds through the Arrow twin (measured 2.32 -> ~0.6 s at sf0.1:
+    five interpreted aggregate folds over ~400-element arrays are
+    allocation-bound, the simhash-majority-vote pattern); md5 bucketing
+    stays JVM-side. ``False`` keeps the pure-expression plan (the
+    DuckDB-oracle-mirrored form; bit-identical, equality-tested)."""
     langs, W = fit_langid_expr(dim)
     pre = (
         docs
@@ -245,6 +291,10 @@ def langid_expr_columns(docs: "DataFrame", text_col: str = "text",
         .withColumn("_bk", F.transform(
             F.col("_bgs"), lambda bg: _lg_bucket_expr(bg, dim)))
     )
+    if vectorized:
+        return pre.select(
+            id_col, *extra_cols,
+            make_langid_score_udf(dim)(F.col("_bk")).alias("lang_pred"))
     for i, lang in enumerate(langs):
         w_lit = F.expr("array({})".format(
             ",".join(f"{int(v)}L" for v in W[i])))

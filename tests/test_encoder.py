@@ -91,8 +91,17 @@ def test_artifact_roundtrip_and_preload(tmp_path, docs):
 
 
 def test_mlp_ann_udf_form_matches_expression_form(docs):
-    a = sorted(map(tuple, encoder.mlp_ann(docs, k=5).collect()))
+    a = sorted(map(tuple,
+                   encoder.mlp_ann(docs, k=5, udf_form=False).collect()))
     b = sorted(map(tuple,
                    encoder.mlp_ann(docs, k=5, udf_form=True).collect()))
     assert a == b
     assert len(a) == 5 * 5  # 5 queries x top-5, fully populated
+
+
+def test_mlp_summary_vectorized_matches_expression(docs):
+    a = sorted(map(tuple,
+                   encoder.mlp_summary(docs, vectorized=False).collect()))
+    b = sorted(map(tuple,
+                   encoder.mlp_summary(docs, vectorized=True).collect()))
+    assert a == b

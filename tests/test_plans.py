@@ -243,13 +243,20 @@ def test_host_cap_windows_are_salted_two_phase(spark, docs):
     assert "_salt" in plan
 
 
-def test_langid_expr_is_projection_only(spark):
-    # round-4: the oracle-gated langid serving path must stay a pure
-    # projection over the scan (zero Python, zero shuffle)
-    from pii_redactor_spark.contract import QUERIES
-    plan = _plan(QUERIES["q_langid"](spark, SF))
+def test_langid_expr_is_projection_only(spark, docs):
+    # round-4: the oracle-mirrored langid expression form must stay a
+    # pure projection over the scan (zero Python, zero shuffle); the
+    # default serving path swaps only the score folds for the Arrow
+    # twin (one ArrowEvalPython, still zero shuffle) — equality-tested
+    # in test_rules_kernels
+    from pii_redactor_spark.kernels.langid import langid_expr_columns
+    plan = _plan(langid_expr_columns(docs, vectorized=False))
     assert "Exchange" not in plan
     assert "Python" not in plan
+    from pii_redactor_spark.contract import QUERIES
+    dplan = _plan(QUERIES["q_langid"](spark, SF))
+    assert "Exchange" not in dplan
+    assert dplan.count("ArrowEvalPython") == 1
 
 
 def test_pack_rows_never_single_partition(spark):

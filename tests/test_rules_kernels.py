@@ -218,6 +218,19 @@ class TestKernelGoldenValues:
         c = Counter(r["lang_pred"] for r in df.collect())
         assert dict(c) == {"en": 455, "fr": 10, "es": 31, "de": 4}
 
+    def test_langid_vectorized_matches_expression(self, spark):
+        """The Arrow score twin (default serving) must reproduce the
+        expression/oracle form row-for-row — same integer sums, same
+        first-max tie-break."""
+        from pii_redactor_spark.kernels.langid import langid_expr_columns
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        a = {r["doc_id"]: r["lang_pred"] for r in
+             langid_expr_columns(docs, vectorized=True).collect()}
+        b = {r["doc_id"]: r["lang_pred"] for r in
+             langid_expr_columns(docs, vectorized=False).collect()}
+        assert a == b
+
     def test_langid_expr_seed_accuracy(self, spark):
         """Both langid forms classify every in-domain (seed-corpora)
         sentence to its true language — the agreement surface between
