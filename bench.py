@@ -52,6 +52,7 @@ HEADLINE = [
     "q_dedup_minhash_bands",
     "q_dedup_lsh_pairs",
     "q_dedup_jaccard",
+    "q_span_dedup",
     "q_fingerprint",
     "q_simhash",
     "q_ann_bruteforce",

@@ -1195,6 +1195,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document duplicate spans (operators/dedup.py span_dup_stats —
+# Lee et al. 2022 ExactSubstr at hashed-8-gram granularity): fraction
+# of each doc's distinct word 8-grams occurring in >= 2 documents.
+# Same gram hashing as decontamination, so the oracle reuses
+# _decon_grams_sql.
+# ---------------------------------------------------------------------------
+@register(
+    "q_span_dedup",
+    oracle=f"""
+    WITH pg AS ({_decon_grams_sql(None)}),
+    grams AS (SELECT doc_id, unnest(gs) AS g FROM pg),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT grams.doc_id, COUNT(*) AS n_grams,
+             COUNT(dup.g) AS n_dup_grams
+      FROM grams LEFT JOIN dup ON grams.g = dup.g
+      GROUP BY grams.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS INT) AS n_grams,
+           CAST(COALESCE(per.n_dup_grams, 0) AS INT) AS n_dup_grams,
+           CASE WHEN COALESCE(per.n_grams, 0) > 0
+                THEN round(CAST(per.n_dup_grams AS DOUBLE)
+                           / per.n_grams, 6)
+                ELSE 0.0 END AS dup_ratio
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.span_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash split (operators/sampling.py hash_split): the
 # non-positional train/val/test splitter — membership is a projection,
 # stable under reordering and corpus growth (contrast O30).

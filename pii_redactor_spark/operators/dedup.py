@@ -421,6 +421,66 @@ GROUP BY d.{id_col}
 """
 
 
+SPAN_N = 8  # word-window width for the cross-doc duplicate-span signal
+
+
+def span_dup_stats(docs: DataFrame, n: int = SPAN_N,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate-SPAN signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    ExactSubstr statistic at hashed-n-gram granularity — for every
+    document, the fraction of its distinct word ``n``-grams that occur
+    in at least one OTHER document. The published pipeline removes the
+    duplicated spans (a positional rewrite); this operator emits the
+    per-doc signal a gate or rewrite consumes:
+    (id, n_grams, n_dup_grams, dup_ratio).
+
+    Scale shape: the gram stream is |corpus| x ~n_words rows keyed by
+    the uniform 60-bit rot-xor gram hash (functions/rules.py — one md5
+    pass per word, shared with the quality rules / decontamination);
+    the duplicate-gram table is ONE hash-groupBy on that key (map-side
+    partials), the join back is co-partitioned on the same key, and
+    the per-doc rollup is one id-keyed aggregation. No driver state,
+    no broadcast of anything corpus-sized — the suffix-array approach
+    of the paper is replaced by the hash-join formulation that
+    actually distributes."""
+    from pii_redactor_spark.functions.rules import (
+        hashed_ngrams_col, word_hashes_col, words_col)
+    from pii_redactor_spark.operators.cache import registered_persist
+    grams = registered_persist(
+        docs
+        .withColumn("_w", words_col(F.col(text_col)))
+        .withColumn("_wh", word_hashes_col(F.col("_w")))
+        .withColumn("_g",
+                    F.array_distinct(hashed_ngrams_col(F.col("_wh"), n)))
+        .select(id_col, F.explode_outer("_g").alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    # grams are per-doc DISTINCT, so count(*) per gram == #docs holding it
+    dup = grams.groupBy("g").agg(F.count("*").alias("nd")) \
+        .where(F.col("nd") >= 2).select("g")
+    per = (
+        grams.join(dup.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"),
+             F.count("_hit").alias("n_dup_grams"))
+    )
+    return (
+        docs.select(id_col).join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("int")
+            .alias("n_dup_grams"),
+            F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                   F.round(F.col("n_dup_grams").cast("double")
+                           / F.col("n_grams"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_ratio"),
+        )
+    )
+
+
 def make_simhash_udf():
     """Vectorized SimHash majority vote over pre-computed word-hash
     arrays: an Arrow-batched iterator pandas UDF doing a vertical
