@@ -131,20 +131,68 @@ def simhash60_expr(hashes: Column) -> Column:
     return out.cast("bigint")
 
 
+def make_minhash_udf(h: int = MINHASH_H):
+    """Arrow twin of the H XOR-min permutations over the pre-computed
+    shingle-hash arrays: per batch, one vectorized
+    ``minimum.reduceat(flat ^ mask, segments)`` per mask. All values are
+    60-bit non-negatives, so int64 XOR/min are exact — bit-identical to
+    the expression form (equality-tested). At H=128 the expression form
+    is 128 interpreted array_min(transform) passes per row — the same
+    allocation-bound pattern as the simhash majority vote, and the same
+    remedy; the md5 shingle hashing stays JVM-side. Measured at sf0.1:
+    q_dedup_minhash_bands 2.85 -> ~1.1 s."""
+    from pyspark.sql.types import ArrayType, LongType
+    masks = np.array(minhash_masks(h), dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_np(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hashes in batches:
+            n = len(hashes)
+            lens = np.array([0 if v is None else len(v) for v in hashes],
+                            dtype=np.int64)
+            out: list = [None] * n
+            if lens.sum() > 0:
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64)
+                     for v in hashes if v is not None and len(v)])
+                seg = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=seg[1:])
+                nz = lens > 0
+                sigs = np.empty((int(nz.sum()), len(masks)),
+                                dtype=np.int64)
+                segs_nz = seg[:-1][nz]
+                for j, m in enumerate(masks):
+                    sigs[:, j] = np.minimum.reduceat(flat ^ m,
+                                                     segs_nz)
+                k = 0
+                for i in range(n):
+                    if nz[i]:
+                        out[i] = list(sigs[k])
+                        k += 1
+            yield pd.Series(out, index=hashes.index, dtype=object)
+
+    return minhash_np
+
+
 def with_minhash(docs: DataFrame, text_col: str = "text",
-                 h: int = MINHASH_H) -> DataFrame:
+                 h: int = MINHASH_H,
+                 vectorized: bool = True) -> DataFrame:
     """Attach `sig` (array<bigint> of H minhashes) via a staged
     projection: words → shingles → 60-bit shingle hashes (one md5 each),
-    each materialized once and shared downstream."""
+    each materialized once and shared downstream. ``vectorized``
+    (default) computes the H permutations through the Arrow twin
+    (bit-identical; see make_minhash_udf); ``False`` keeps the
+    expression-only plan (the DuckDB-oracle-mirrored form)."""
     pre = (
         docs
         .withColumn("_words", words_expr(F.col(text_col)))
         .withColumn("_shingles", shingles_expr(F.col("_words")))
         .withColumn("_sh_hashes", F.transform(F.col("_shingles"), word_hash60))
     )
+    sig = (make_minhash_udf(h)(F.col("_sh_hashes")) if vectorized
+           else F.array(*minhash_sig_exprs(F.col("_sh_hashes"), h)))
     return (
-        pre.withColumn("sig",
-                       F.array(*minhash_sig_exprs(F.col("_sh_hashes"), h)))
+        pre.withColumn("sig", sig)
         .drop("_words", "_shingles", "_sh_hashes")
     )
 

@@ -442,3 +442,18 @@ def test_span_dup_fires_on_planted_corpus_dups(spark):
     assert all(stats[i] >= 0.7 for i in members)
     clean = [v for i, v in stats.items() if i not in members]
     assert sum(1 for v in clean if v == 0.0) >= 0.9 * len(clean)
+
+
+def test_minhash_vectorized_matches_expression(spark):
+    """The Arrow XOR-min twin (default) must reproduce the expression/
+    oracle signatures bit-for-bit at H=128."""
+    from pii_redactor_spark.operators import dedup
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    a = {r["doc_id"]: r["sig"] for r in
+         dedup.with_minhash(docs, vectorized=True)
+         .select("doc_id", "sig").collect()}
+    b = {r["doc_id"]: r["sig"] for r in
+         dedup.with_minhash(docs, vectorized=False)
+         .select("doc_id", "sig").collect()}
+    assert a == b
