@@ -146,6 +146,80 @@ def dedup_stream(
     )
 
 
+def neardup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    reps_per_bucket: int = 4,
+):
+    """Streaming NEAR-duplicate candidate detection — the batch
+    MinHash-LSH self-join (operators/dedup.py lsh_candidate_pairs) as a
+    stateful streaming operator (round-4; the batch selectors' ingest-
+    time twin).
+
+    Every arriving document is projected to its LSH band buckets
+    (signatures via the same Arrow XOR-min twin, md5 JVM-side — the
+    batch code path verbatim, stateless so it runs under readStream
+    unchanged); per (band_idx, band_hash) key, ``GroupState`` holds at
+    most ``reps_per_bucket`` representative doc ids — BOUNDED state per
+    key, so a hot bucket (the all-identical-docs case) can never grow
+    state or emission quadratically: each later arrival emits candidate
+    pairs against the stored representatives only, exactly the cap a
+    production stream applies before the exact-Jaccard verify (the
+    batch operator) runs on the emitted candidates.
+
+    Output rows: (band_idx, band_hash, id_a, id_b) with id_a < id_b.
+    """
+    import pandas as pd
+
+    from pii_redactor_spark.operators.dedup import minhash_bands
+
+    pages = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+    )
+    bands = minhash_bands(pages)
+
+    out_type = ("band_idx int, band_hash string, id_a long, id_b long")
+    state_type = "ids string"
+
+    def emit_pairs(key, pdfs, state):
+        reps: list[int] = (
+            [int(x) for x in state.get[0].split(",") if x]
+            if state.exists else [])
+        rows_a, rows_b = [], []
+        for pdf in pdfs:
+            for doc_id in sorted(int(v) for v in pdf["doc_id"]):
+                for r in reps:
+                    lo, hi = (r, doc_id) if r < doc_id else (doc_id, r)
+                    if lo != hi:
+                        rows_a.append(lo)
+                        rows_b.append(hi)
+                if len(reps) < reps_per_bucket:
+                    reps.append(doc_id)
+        state.update((",".join(str(r) for r in reps),))
+        if rows_a:
+            yield pd.DataFrame({
+                "band_idx": [int(key[0])] * len(rows_a),
+                "band_hash": [key[1]] * len(rows_a),
+                "id_a": rows_a, "id_b": rows_b,
+            })
+
+    cand = bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        emit_pairs, out_type, state_type, "append", "NoTimeout")
+    return (
+        cand.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def rate_scrub_demo(
     spark: SparkSession,
     checkpoint_dir: str,

@@ -167,3 +167,51 @@ def test_rate_scrub_demo_continuous(spark, tmp_path):
         assert "[EMAIL]" in r["scrubbed_text"]
         assert "555-" not in r["scrubbed_text"]
         assert r["n_redactions"] >= 2
+
+
+def test_neardup_stream_bounded_state_candidates(spark, tmp_path):
+    """Streaming MinHash-LSH: exact/near dups collide in-stream across
+    micro-batch drops; per-bucket state is capped so a flood of
+    identical docs emits pairs only against <= reps_per_bucket
+    representatives (bounded state AND bounded emission)."""
+    from pii_redactor_spark.streaming.stream import neardup_stream
+
+    BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm stone wall near the old garden gate")
+    NEAR = BASE.replace("warm stone wall", "warm brick wall")
+    OTHER = ("completely different content about spark query planning "
+             "and adaptive execution with shuffle partitions coalesced")
+    src = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "cands")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    # drop 1: the original + an unrelated doc
+    spark.createDataFrame([(0, BASE), (3, OTHER)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = neardup_stream(spark, src, schema, out_dir, ckpt,
+                       reps_per_bucket=2)
+    q.awaitTermination(120)
+
+    # drop 2: an exact dup, a near dup, and a FLOOD of identical docs
+    flood = [(100 + i, OTHER) for i in range(10)]
+    spark.createDataFrame([(1, BASE), (2, NEAR)] + flood, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = neardup_stream(spark, src, schema, out_dir, ckpt,
+                       reps_per_bucket=2)
+    q.awaitTermination(120)
+
+    cand = spark.read.parquet(out_dir)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in pairs                  # exact dup found across drops
+    assert any(a == 0 and b == 2 or a == 2 for a, b in pairs) \
+        or (0, 2) in pairs                  # near dup collides somewhere
+    # bounded emission: each flood doc pairs with at most
+    # reps_per_bucket members per band bucket — doc 109 (last) must NOT
+    # pair with every earlier flood doc
+    partners_109 = {a for a, b in pairs if b == 109}
+    from pii_redactor_spark.operators.dedup import LSH_BANDS
+    assert partners_109  # it did collide
+    assert len(partners_109) <= 2 * LSH_BANDS
+    assert not {(a, b) for a, b in pairs
+                if a >= 104 and b >= 105}   # late flood never inter-pairs
