@@ -232,3 +232,68 @@ def build_job(
 
     return {"run_id": run_id, "stages": stages,
             "metrics_rows": metrics.read(spark).count()}
+
+
+def quality_increment(
+    spark: SparkSession,
+    input_table: IcebergishTable,
+    output: IcebergishTable,
+    metrics: MetricsTable,
+    run_id: str = "inc",
+    thresholds=None,
+    artifacts=None,
+) -> dict:
+    """Incremental quality/scrub pass over a GROWING input table — the
+    per-row-stage incremental pattern (ROADMAP round-5 item 3): the
+    output table's snapshot lineage records the input snapshot id last
+    processed; each invocation reads ONLY the manifest diff
+    (``read_incremental``), scrubs it, and appends — a crawl drop costs
+    one pass over the drop, never a corpus re-scan. Global stages
+    (dedup / select / pack) are NOT incremental by their semantics and
+    must recompute over old+new — that is the chain's documented
+    design decision, not a gap here.
+
+    Idempotent: a re-run with no new input snapshot appends nothing.
+    """
+    import time as _time
+
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+
+    last = None
+    snap = output.snapshot()
+    if snap and snap.lineage and snap.lineage.get("run_id") == run_id \
+            and snap.lineage.get("stage") == "quality_increment":
+        last = snap.lineage.get("input_snapshot")
+    cur = input_table.current_snapshot_id()
+    new_rows = input_table.read_incremental(spark, last)
+    if new_rows is None or cur == last:
+        return {"run_id": run_id, "appended": 0,
+                "input_snapshot": cur, "up_to_date": True}
+    if "url" not in new_rows.columns:
+        new_rows = new_rows.withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id")))
+    t0 = _time.time()
+    pass_cols = [c for c in ("doc_id", "lang", "n_chars")
+                 if c in new_rows.columns]
+    out = run_pipeline(
+        new_rows, thresholds=thresholds, allowed_langs=("en",),
+        max_ppl=50.0, artifacts=artifacts,
+    ).select("url", *pass_cols,
+             F.col("scrubbed_text").alias("text"),
+             "lang_pred", "ppl", "n_redactions", "keep")
+    out = out.persist()
+    try:
+        n = out.count()
+        output.append(out, lineage={
+            "run_id": run_id, "stage": "quality_increment",
+            "input_snapshot": cur, "complete": True})
+    finally:
+        out.unpersist()
+    metrics.log(spark, [{
+        "run_id": run_id, "stage": "build:quality_increment",
+        "bucket": None, "n_docs": n, "kept": None, "dropped": None,
+        "scrubbed": n, "elapsed_s": _time.time() - t0,
+        "ts": _time.time(),
+    }])
+    return {"run_id": run_id, "appended": n, "input_snapshot": cur,
+            "up_to_date": False}

@@ -256,3 +256,36 @@ def test_read_incremental_is_manifest_diff(spark, tmp_path):
     # overwrite starts a new lineage root: everything is new again
     t.overwrite(spark.createDataFrame([(9,)], "v long"))
     assert {r["v"] for r in t.read_incremental(spark, s2).collect()} == {9}
+
+
+def test_quality_increment_processes_only_new_snapshots(spark, tmp_path):
+    """Incremental scrub over a growing input table: first pass scrubs
+    everything, a second pass after an append scrubs ONLY the drop, a
+    third pass with no growth is a no-op."""
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.plans.build import quality_increment
+    from pii_redactor_spark.tables import IcebergishTable, MetricsTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = IcebergishTable(tmp_path / "src")
+    out = IcebergishTable(tmp_path / "out")
+    met = MetricsTable(tmp_path / "met")
+
+    src.append(docs.filter("doc_id < 60"))
+    r1 = quality_increment(spark, src, out, met, run_id="i1")
+    assert r1["appended"] == 60 and not r1["up_to_date"]
+    assert out.read(spark).count() == 60
+
+    src.append(docs.filter("doc_id >= 60 AND doc_id < 85"))
+    r2 = quality_increment(spark, src, out, met, run_id="i1")
+    assert r2["appended"] == 25
+    got = out.read(spark)
+    assert got.count() == 85
+    assert got.select("doc_id").distinct().count() == 85  # no re-scrubs
+
+    r3 = quality_increment(spark, src, out, met, run_id="i1")
+    assert r3["up_to_date"] and r3["appended"] == 0
+    assert out.read(spark).count() == 85
+    # output rows carry the scrubbed text as `text`
+    assert "text" in got.columns and "scrubbed_text" not in got.columns
