@@ -47,6 +47,7 @@ HEADLINE = [
     "q_quality_clf",
     "q_quality_nb_counts",
     "q_quality_tiers",
+    "q_datacard",
     "q_domain_mix",
     "q_dedup_exact",
     "q_dedup_minhash_bands",

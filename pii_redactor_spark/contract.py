@@ -556,11 +556,10 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_quality_keep",
-    oracle=f"""
-    SELECT doc_id,
-      (n_words >= 5 AND n_words <= 100000
+# the default-thresholds rule gate as one boolean SQL expression —
+# shared by q_quality_keep and q_datacard (a stale duplicate would
+# silently break whichever oracle wasn't updated)
+_RULES_KEEP_SQL = """(n_words >= 5 AND n_words <= 100000
        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
        AND symbol_word_ratio <= 0.1
        AND alpha_word_ratio >= 0.7
@@ -569,7 +568,14 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND top_bigram_ratio <= 0.25
        AND top_trigram_ratio <= 0.20
        AND top_quadgram_ratio <= 0.18
-       AND dup_5gram_ratio <= 0.30) AS keep,
+       AND dup_5gram_ratio <= 0.30)"""
+
+
+@register(
+    "q_quality_keep",
+    oracle=f"""
+    SELECT doc_id,
+      {_RULES_KEEP_SQL} AS keep,
       CAST((CASE WHEN n_words < 5 THEN 1 ELSE 0 END)
          + (CASE WHEN n_words > 100000 THEN 1 ELSE 0 END)
          + (CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 1 ELSE 0 END)
@@ -1806,3 +1812,67 @@ def q_mlp_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_ann_mlp", oracle=_enc.mlp_ann_oracle_sql())
 def q_ann_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _enc.mlp_ann(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Data card: the per-(source, lang) corpus rollup every training-data
+# release ships — doc counts, token budget, rule keep rate, mean model
+# quality. ONE fused projection over the scan (with_quality + token
+# count + classifier logit pass through quality_clf_columns'
+# extra_cols — never a corpus-sized self-join) and one grouped
+# aggregation (map-side partials; group cardinality = |sources| x
+# |langs|). The decimal-exact logit sum makes the mean independent of
+# partial-aggregation order.
+# ---------------------------------------------------------------------------
+@register(
+    "q_datacard",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, {_RULES_KEEP_SQL} AS keep
+      FROM ({_QUALITY_BASE_SQL})),
+    clf AS ({_qclf.quality_clf_oracle_sql()}),
+    toks AS (
+      SELECT doc_id, source, lang,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_tokens
+      FROM documents)
+    SELECT t.source, t.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS keep_rate_ppm,
+           CAST(SUM(CAST(c.q_logit AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_q_logit
+    FROM toks t JOIN q ON t.doc_id = q.doc_id
+    JOIN clf c ON t.doc_id = c.doc_id
+    GROUP BY t.source, t.lang
+    """,
+)
+def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_redactor_spark.kernels.quality_clf import quality_clf_columns
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        with_quality(docs, "text", QualityThresholds())
+        .withColumn("_toks", F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(_BPE_RE), 0)))
+    )
+    scored = quality_clf_columns(
+        base, extra_cols=("source", "lang", "keep", "_toks"))
+    # rate as exact integer ppm and the logit as its exact decimal SUM:
+    # a rounded double MEAN trips the engines' round-half divergence
+    # exactly on boundary values (measured: 2.00167/4 rounds 0.500418 in
+    # Spark, 0.500417 in DuckDB) — integer/decimal arithmetic cannot
+    n_keep = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_toks").cast("bigint").alias("total_tokens"),
+            n_keep.cast("bigint").alias("n_keep"),
+            F.expr("sum(case when keep then 1 else 0 end) * 1000000"
+                   " div count(*)").alias("keep_rate_ppm"),
+            F.sum(F.col("q_logit").cast("decimal(18,6)"))
+            .cast("double").alias("sum_q_logit"),
+        )
+    )

@@ -218,11 +218,15 @@ def quality_clf_columns(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = CLF_THRESHOLD,
                         weights: tuple[np.ndarray, int] | None = None,
+                        extra_cols: tuple[str, ...] = (),
                         ) -> DataFrame:
-    """(id, n_words, q_logit, clf_keep) — the model-based quality
-    decision as a pure projection. The weight array is a constant-folded
-    literal (F.expr('array(...)') — the py4j-fast literal path); the
-    per-word sum is an exact bigint fold, divided once in doubles."""
+    """(id, *extra_cols, n_words, q_logit, clf_keep) — the model-based
+    quality decision as a pure projection. The weight array is a
+    constant-folded literal (F.expr('array(...)') — the py4j-fast
+    literal path); the per-word sum is an exact bigint fold, divided
+    once in doubles. ``extra_cols`` pass through so composite rollups
+    (q_datacard) stay ONE projection instead of a corpus-sized
+    self-join."""
     w_scaled, b_scaled = weights if weights is not None else clf_weights()
     dim = len(w_scaled)
     bias = b_scaled / _SCALE
@@ -246,6 +250,7 @@ def quality_clf_columns(docs: DataFrame, text_col: str = "text",
     ).otherwise(F.lit(bias))
     return pre.select(
         id_col,
+        *extra_cols,
         F.col("_n").alias("n_words"),
         (F.round(logit, 6) + F.lit(0.0)).alias("q_logit"),
         ((F.round(logit, 6) + F.lit(0.0)) >= F.lit(threshold))
