@@ -179,11 +179,13 @@ def make_mlp_embed_udf():
                      for s in signs if s is not None and len(s)])
                 idx = np.repeat(np.arange(n), lens)
                 np.add.at(x, (idx, flatb), flats)
+            # NULL text keeps its zero row: the network emits the
+            # bias-only activation, exactly like the expression form's
+            # coalesced folds (and the oracle's COALESCE(SUM, 0)) — a
+            # None here would silently diverge on NULL-text corpora
             h = np.maximum(x @ w1 + b1, 0)
             e = h @ w2
-            isnull = [b is None for b in buckets]
-            yield pd.Series([None if nz else list(row)
-                             for row, nz in zip(e, isnull)])
+            yield pd.Series([list(row) for row in e])
 
     return mlp
 

@@ -144,17 +144,37 @@ def make_minhash_udf(h: int = MINHASH_H):
     from pyspark.sql.types import ArrayType, LongType
     masks = np.array(minhash_masks(h), dtype=np.int64)
 
+    def _clean(v):
+        """Per-row int64 view with NULL elements dropped — mirrors
+        array_min's skip-nulls semantics. Arrow surfaces a null list
+        element as object-None or float-NaN; the int fast path (the
+        whole corpus, normally) costs nothing."""
+        a = np.asarray(v)
+        if a.dtype.kind == "f":
+            # Arrow only floats a list that CONTAINS nulls; in this
+            # operator that is the all-null [NULL] shingle set (null
+            # text), so nothing surviving the NaN filter ever passed
+            # through a lossy float (60-bit values exceed 2^53)
+            a = a[~np.isnan(a)]
+        elif a.dtype == object:
+            a = np.asarray([x for x in v if x is not None],
+                           dtype=np.int64)
+        return a.astype(np.int64, copy=False)
+
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_np(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        nulls = [None] * len(masks)  # all-null shingle set -> null sigs,
+        # exactly array_min over an all-null transform
         for hashes in batches:
             n = len(hashes)
-            lens = np.array([0 if v is None else len(v) for v in hashes],
+            cleaned = [None if v is None else _clean(v) for v in hashes]
+            lens = np.array([0 if v is None else len(v) for v in cleaned],
                             dtype=np.int64)
-            out: list = [None] * n
+            out: list = [None if v is None else list(nulls)
+                         for v in cleaned]
             if lens.sum() > 0:
                 flat = np.concatenate(
-                    [np.asarray(v, dtype=np.int64)
-                     for v in hashes if v is not None and len(v)])
+                    [v for v in cleaned if v is not None and len(v)])
                 seg = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(lens, out=seg[1:])
                 nz = lens > 0
@@ -200,16 +220,24 @@ def with_minhash(docs: DataFrame, text_col: str = "text",
 def band_hashes(sig: Column, bands: int = LSH_BANDS,
                 rows: int = LSH_ROWS) -> Column:
     """array<struct<band_idx:int, band_hash:string>> — md5 of each band's
-    concatenated signature rows."""
-    return F.array(*[
-        F.struct(
+    concatenated signature rows. F.concat, NOT concat_ws: concat_ws
+    SKIPS null inputs while the oracle's ``||`` propagates them, so a
+    NULL-text document (null signature) would get a md5('|||…') bucket
+    in Spark and collide with every other null doc while the oracle
+    emits NULL — the latent-parity class round-3 ADVICE flagged."""
+    def one(b: int) -> Column:
+        parts: list[Column] = []
+        for r in range(rows):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(
+                F.element_at(sig, b * rows + r + 1).cast("string"))
+        return F.struct(
             F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws(
-                "|", *[F.element_at(sig, b * rows + r + 1).cast("string")
-                       for r in range(rows)])).alias("band_hash"),
+            F.md5(F.concat(*parts)).alias("band_hash"),
         )
-        for b in range(bands)
-    ])
+
+    return F.array(*[one(b) for b in range(bands)])
 
 
 # ---------------------------------------------------------------------------

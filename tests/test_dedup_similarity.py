@@ -457,3 +457,25 @@ def test_minhash_vectorized_matches_expression(spark):
          dedup.with_minhash(docs, vectorized=False)
          .select("doc_id", "sig").collect()}
     assert a == b
+
+
+def test_null_text_band_hash_is_null_like_oracle(spark):
+    """NULL-text docs must produce NULL band hashes (the oracle's ||
+    propagates NULL) — concat_ws would md5 the empty join and collide
+    every null doc into one bucket."""
+    df = spark.createDataFrame(
+        [(0, "real words here for a document"), (1, None)],
+        "doc_id long, text string")
+    rows = dedup.minhash_bands(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["band_hash"])
+    assert all(h is not None for h in by_doc[0])
+    assert all(h is None for h in by_doc[1])
+    # and null-keyed buckets never produce candidate pairs
+    pairs = dedup.lsh_candidate_pairs(
+        spark.createDataFrame([(0, None), (1, None)],
+                              "doc_id long, text string")).collect()
+    from pii_redactor_spark.operators.cache import release_caches
+    release_caches()
+    assert pairs == []

@@ -17,15 +17,21 @@ def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet").limit(100)
 
 
-def test_udf_equals_expression_form(docs):
+def test_udf_equals_expression_form(docs, spark):
     """The Arrow/numpy twin and the oracle-mirrored expression form are
-    the same network — bit-identical integer outputs."""
+    the same network — bit-identical integer outputs, INCLUDING the
+    NULL/empty-text rows (both emit the bias-only activation, the
+    oracle's COALESCE semantics)."""
+    docs = docs.unionByName(spark.createDataFrame(
+        [(90001, None, None, None, None), (90002, "", None, None, None)],
+        docs.schema))
     a = {r["doc_id"]: r["emb"]
          for r in encoder.with_mlp_embedding(docs).collect()}
     b = {r["doc_id"]: r["emb"]
          for r in encoder.mlp_embeddings_udf(docs).collect()}
     assert a == b
     assert all(len(v) == encoder.MLP_OUT for v in a.values())
+    assert a[90001] == a[90002]  # NULL and empty: bias-only activation
 
 
 def test_expression_plan_is_projection_only(docs):
