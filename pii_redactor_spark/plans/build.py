@@ -230,7 +230,18 @@ def build_job(
         release_caches()
     maybe_fail(name)
 
+    # final corpus summary off the committed pack table (one tiny agg):
+    # the numbers a training run actually budgets by
+    from pii_redactor_spark.contract import SEQ_TOKENS
+    pack_df = stage_table(root, "pack").read(spark)
+    tok_row = pack_df.agg(
+        F.sum("n_tokens").alias("t"),
+        F.max(F.col("start_off") + F.col("n_tokens")).alias("e")).first()
+    end = int(tok_row["e"] or 0)
     return {"run_id": run_id, "stages": stages,
+            "total_tokens": int(tok_row["t"] or 0),
+            "seq_tokens": SEQ_TOKENS,
+            "n_sequences": -(-end // SEQ_TOKENS),
             "metrics_rows": metrics.read(spark).count()}
 
 

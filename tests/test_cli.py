@@ -271,3 +271,19 @@ def test_build_end_to_end_with_midchain_kill_resume(spark, capsys, tmp_path):
     out2 = build_job(spark, pages, root, run_id="b1")
     release_caches()
     assert all(s["resumed"] for s in out2["stages"])
+
+
+def test_build_summary_token_budget(spark, tmp_path):
+    """The chain's final summary carries the token budget: total_tokens
+    equals the pack table's sum and n_sequences its ceil-division."""
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.plans.build import build_job, stage_table
+
+    pages = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 120")
+    out = build_job(spark, pages, tmp_path / "c2", run_id="b2")
+    release_caches()
+    pack = stage_table(tmp_path / "c2", "pack").read(spark).collect()
+    total = sum(r["n_tokens"] for r in pack)
+    assert out["total_tokens"] == total > 0
+    assert out["n_sequences"] == -(-total // out["seq_tokens"])

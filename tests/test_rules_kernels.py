@@ -224,12 +224,18 @@ class TestKernelGoldenValues:
         first-max tie-break."""
         from pii_redactor_spark.kernels.langid import langid_expr_columns
         docs = spark.read.parquet(
-            "/root/testdata/sf0.001/documents.parquet")
+            "/root/testdata/sf0.001/documents.parquet") \
+            .select("doc_id", "text")
+        docs = docs.unionByName(spark.createDataFrame(
+            [(90001, None), (90002, ""), (90003, "a")],
+            "doc_id long, text string"))
         a = {r["doc_id"]: r["lang_pred"] for r in
              langid_expr_columns(docs, vectorized=True).collect()}
         b = {r["doc_id"]: r["lang_pred"] for r in
              langid_expr_columns(docs, vectorized=False).collect()}
         assert a == b
+        # NULL / sub-bigram text predicts NULL in both forms
+        assert a[90001] is None and a[90002] is None and a[90003] is None
 
     def test_langid_expr_seed_accuracy(self, spark):
         """Both langid forms classify every in-domain (seed-corpora)
