@@ -54,6 +54,7 @@ HEADLINE = [
     "q_dedup_lsh_pairs",
     "q_dedup_jaccard",
     "q_span_dedup",
+    "q_span_rewrite",
     "q_fingerprint",
     "q_simhash",
     "q_ann_bruteforce",

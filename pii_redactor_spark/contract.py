@@ -1233,6 +1233,70 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The REWRITE step (dedup.span_dedup_rewrite): remove every duplicated
+# n-gram occurrence except the globally first — the paper's
+# keep-one-copy semantics. Output pinned by md5 + length of the
+# rewritten text; the oracle re-derives first-owners with the same
+# BIGINT occurrence keys and rebuilds the text with identical
+# positional logic (lockstep unnest keeps the gram stream linear).
+# ---------------------------------------------------------------------------
+@register(
+    "q_span_rewrite",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, words,
+             list_transform(words, w -> {{whf}}) AS whashes
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(trim(text), '\\s+'),
+                          w -> w <> '') AS words
+            FROM documents)),
+    grams AS (SELECT doc_id, {_hashed_ngrams_sql(8)} AS gs FROM base),
+    occ AS (
+      SELECT doc_id,
+             CAST(unnest(range(len(gs))) AS BIGINT) AS pos,
+             unnest(gs) AS g
+      FROM grams),
+    owners AS (
+      SELECT g, MIN(doc_id * {_dd._SPAN_POS_LIM} + pos) AS mn,
+             COUNT(*) AS n
+      FROM occ GROUP BY g),
+    dup AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN owners w ON o.g = w.g
+      WHERE w.n >= 2 AND o.doc_id * {_dd._SPAN_POS_LIM} + o.pos <> w.mn),
+    cov AS (SELECT doc_id, list(pos) AS poss FROM dup GROUP BY doc_id),
+    rw AS (
+      SELECT b.doc_id, b.words,
+        CASE WHEN b.words IS NULL THEN NULL ELSE
+          list_transform(range(len(b.words)), i ->
+            CASE WHEN len(list_filter(
+                     COALESCE(c.poss, CAST([] AS BIGINT[])),
+                     p -> p <= i AND i <= p + 7)) > 0
+                 THEN NULL ELSE b.words[CAST(i + 1 AS INT)] END)
+        END AS kept
+      FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id),
+    fin AS (
+      -- DuckDB array_to_string([]) is NULL while Spark array_join([])
+      -- is '' — coalesce ONLY the non-null-kept (fully-removed) case
+      SELECT doc_id, words, kept,
+             CASE WHEN kept IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(
+                         list_filter(kept, x -> x IS NOT NULL), ' '), '')
+             END AS clean
+      FROM rw)
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           CAST(len(list_filter(kept, x -> x IS NULL)) AS INT)
+             AS n_removed,
+           md5(clean) AS cleaned_hash,
+           CAST(length(clean) AS INT) AS cleaned_len
+    FROM fin
+    """.replace("{whf}", _WHASH_FOLD_SQL),
+)
+def q_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.span_dedup_rewrite(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash split (operators/sampling.py hash_split): the
 # non-positional train/val/test splitter — membership is a projection,
 # stable under reordering and corpus growth (contrast O30).

@@ -557,6 +557,95 @@ def span_dup_stats(docs: DataFrame, n: int = SPAN_N,
     )
 
 
+_SPAN_POS_LIM = 1 << 20  # occurrence key = doc_id * LIM + position
+                         # (positions < 2^20 words/doc; doc ids < 2^43)
+
+
+def span_dedup_rewrite(docs: DataFrame, n: int = SPAN_N,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The REWRITE step of Lee et al. 2022's ExactSubstr dedup: every
+    occurrence of a cross-document duplicated word ``n``-gram is
+    removed EXCEPT the globally first one (lowest (doc_id, position) —
+    the paper keeps one copy of each duplicated span). Returns
+    (id, n_words, n_removed, cleaned_hash, cleaned_len): the rewritten
+    text is pinned by its md5 + length (the contract comparator's
+    compact form; the full string is one array_join away).
+
+    Shape: positional gram occurrences are |corpus| x ~n_words rows on
+    the uniform 60-bit gram key; the global first-occurrence table is
+    ONE hash-groupBy (min over the BIGINT occurrence key — exact in
+    both engines); duplicated occurrences flow back by one
+    co-partitioned join and one per-doc rollup, and the rewrite itself
+    is a projection (zip_with over the words — no element_at-in-lambda,
+    per the O(n^2) inlining trap). Per-doc mask cost is
+    O(n_words x |dup positions|) — quadratic only for fully-duplicated
+    docs, whose rewrite drops to nothing anyway."""
+    from pii_redactor_spark.functions.rules import (
+        hashed_ngrams_col, word_hashes_col, words_col)
+    from pii_redactor_spark.operators.cache import registered_persist
+    pre = registered_persist(
+        docs
+        .withColumn("_w", words_col(F.col(text_col)))
+        .withColumn("_wh", word_hashes_col(F.col("_w")))
+        .withColumn("_g", hashed_ngrams_col(F.col("_wh"), n))
+        .select(id_col, "_w", "_g")
+    )
+    occ = (
+        pre.select(id_col, F.posexplode_outer("_g").alias("pos", "g"))
+        .where(F.col("g").isNotNull())
+        .withColumn("_k", F.col(id_col) * F.lit(_SPAN_POS_LIM)
+                    + F.col("pos"))
+    )
+    owners = occ.groupBy("g").agg(F.min("_k").alias("_mn"),
+                                  F.count("*").alias("_n"))
+    dup_occ = (
+        occ.join(owners, "g")
+        .where((F.col("_n") >= 2) & (F.col("_k") != F.col("_mn")))
+        .select(id_col, F.col("pos").cast("bigint").alias("pos"))
+    )
+    cov = dup_occ.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_poss"))
+
+    span = F.lit(n - 1)
+
+    def _covered(poss):
+        # closure factory: index i is removed iff some duplicated
+        # occurrence starts within the trailing n-gram window
+        def f(i):
+            return F.exists(poss, lambda p: (p <= i) & (i <= p + span))
+        return f
+
+    joined = (
+        pre.join(cov, id_col, "left")
+        .withColumn("_poss", F.coalesce(
+            F.col("_poss"), F.expr("CAST(array() AS array<bigint>)")))
+        .withColumn("_marks", F.when(
+            F.size("_w") > 0,
+            F.transform(F.sequence(F.lit(0).cast("bigint"),
+                                   F.size("_w").cast("bigint") - 1),
+                        _covered(F.col("_poss"))))
+            # empty words -> empty marks (zip_with against NULL would
+            # null the whole rewrite; the oracle's range(0) is empty)
+            .otherwise(F.expr("CAST(array() AS array<boolean>)")))
+        .withColumn("_kept", F.zip_with(
+            "_w", "_marks", lambda w, m: F.when(~m, w)))
+        .withColumn("_clean", F.array_join(
+            F.filter("_kept", lambda x: x.isNotNull()), " "))
+    )
+    return joined.select(
+        id_col,
+        F.size("_w").alias("n_words"),  # NULL text -> NULL, like len()
+        F.when(F.col("_w").isNotNull(),
+               F.size(F.filter("_kept", lambda x: x.isNull())))
+        .cast("int").alias("n_removed"),
+        F.when(F.col("_w").isNotNull(), F.md5("_clean"))
+        .alias("cleaned_hash"),
+        F.when(F.col("_w").isNotNull(), F.length("_clean"))
+        .cast("int").alias("cleaned_len"),
+    )
+
+
 def make_simhash_udf():
     """Vectorized SimHash majority vote over pre-computed word-hash
     arrays: an Arrow-batched iterator pandas UDF doing a vertical

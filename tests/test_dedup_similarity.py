@@ -479,3 +479,54 @@ def test_null_text_band_hash_is_null_like_oracle(spark):
     from pii_redactor_spark.operators.cache import release_caches
     release_caches()
     assert pairs == []
+
+
+def test_span_rewrite_keeps_first_occurrence_only(spark):
+    """Rewrite semantics (Lee et al. keep-one-copy): the globally first
+    doc keeps its text verbatim, an exact duplicate is emptied, a doc
+    embedding the duplicated span loses exactly that span, and clean
+    docs are untouched."""
+    import hashlib
+
+    from pii_redactor_spark.operators import dedup
+    from pii_redactor_spark.operators.cache import release_caches
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    tail = "one two three four five six seven eight nine ten"
+    other = "red orange yellow green blue indigo violet cyan magenta"
+    rows = [(0, span), (1, span), (2, span + " " + tail), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.span_dedup_rewrite(df).collect()}
+    release_caches()
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0]["n_removed"] == 0
+    assert out[0]["cleaned_hash"] == h(span)   # first owner untouched
+    assert out[1]["n_removed"] == 8
+    assert out[1]["cleaned_hash"] == h("")     # exact dup emptied
+    # doc 2: the embedded span (8 words) removed, its own tail kept —
+    # note "theta one ... three" grams overlap the boundary only if
+    # duplicated elsewhere, which they are not
+    assert out[2]["n_removed"] == 8
+    assert out[2]["cleaned_hash"] == h(tail)
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_hash"] == h(rows[3][1])
+
+
+def test_span_rewrite_null_and_short_docs(spark):
+    import hashlib
+
+    from pii_redactor_spark.operators import dedup
+    from pii_redactor_spark.operators.cache import release_caches
+    rows = [(0, None), (1, ""), (2, "short doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.span_dedup_rewrite(df).collect()}
+    release_caches()
+    assert out[0]["n_words"] is None and out[0]["cleaned_hash"] is None
+    assert out[1]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+    assert out[2]["n_removed"] == 0
+    assert out[2]["cleaned_hash"] == \
+        hashlib.md5(b"short doc").hexdigest()
