@@ -220,6 +220,102 @@ def neardup_stream(
     )
 
 
+def semdedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cents: list,
+    tau: float | None = None,
+    reps_per_cluster: int = 64,
+):
+    """Streaming SemDeDup — the batch operator
+    (operators/clustering.semdedup) at ingest time, completing the
+    batch-selector streaming twins (exact dedup, LSH near-dup, now
+    semantic dedup).
+
+    Cluster assignment is the batch projection against the literal
+    centroid ARTIFACT (``cents`` = kmeans_fit output or
+    artifacts.load_centroids — the fit happens offline, serving is
+    stateless so it runs under readStream unchanged). Per-cluster
+    ``GroupState`` holds at most ``reps_per_cluster`` representative
+    vectors: an arriving vector is flagged ``is_dup`` when its cosine
+    to ANY stored representative clears ``tau`` (keep-FIRST-SEEN — the
+    ingest-order analogue of the batch keep-lowest-id), otherwise it
+    joins the representatives until the cap. State per cluster is a
+    fixed-size float block — bounded regardless of stream length; past
+    the cap, novel vectors pass through unflagged (the documented
+    recall trade of capped streaming dedup; size the cap or k like the
+    batch operator sizes clusters).
+
+    Output rows: (vec_id, cid, is_dup).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pii_redactor_spark.operators.clustering import (
+        SEM_TAU, _assign, _vecs)
+
+    t = SEM_TAU if tau is None else tau
+    emb = spark.readStream.schema(schema).parquet(source_dir)
+    assigned = _assign(_vecs(emb), cents).select(
+        "vec_id", F.col("cid").cast("int").alias("cid"), "v")
+
+    out_type = "vec_id long, cid int, is_dup boolean"
+    state_type = "flat array<double>, nreps int, dim int"
+
+    def flag(key, pdfs, state):
+        if state.exists:
+            flat, nreps, dim = state.get
+            reps = (np.asarray(flat, dtype=np.float64)
+                    .reshape(nreps, dim) if nreps else
+                    np.zeros((0, max(dim, 1))))
+        else:
+            reps, dim = np.zeros((0, 1)), 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("vec_id")
+            for vec_id, v in zip(pdf["vec_id"], pdf["v"]):
+                x = np.asarray(v, dtype=np.float64)
+                if reps.shape[0] == 0:
+                    dim = len(x)
+                    reps = np.zeros((0, dim))
+                xn = float(np.sqrt((x * x).sum()))
+                dup = False
+                if reps.shape[0]:
+                    dots = reps @ x
+                    norms = np.sqrt((reps * reps).sum(axis=1)) * xn
+                    with np.errstate(invalid="ignore",
+                                     divide="ignore"):
+                        cos = dots / norms
+                    # zero-norm cosine is NaN; the batch operator's
+                    # expression/oracle order NaN above every number,
+                    # i.e. >= tau — mirror it
+                    dup = bool(np.any((cos >= t) | np.isnan(cos)))
+                if not dup and reps.shape[0] < reps_per_cluster:
+                    reps = np.vstack([reps, x[None, :]])
+                out.append((int(vec_id), int(key[0]), dup))
+        # plain Python floats: numpy scalars don't unpickle JVM-side
+        state.update(([float(x) for x in reps.reshape(-1)],
+                      int(reps.shape[0]), int(dim)))
+        if out:
+            yield pd.DataFrame(out,
+                               columns=["vec_id", "cid", "is_dup"])
+
+    flagged = assigned.groupBy("cid").applyInPandasWithState(
+        flag, out_type, state_type, "append", "NoTimeout")
+    return (
+        flagged.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def rate_scrub_demo(
     spark: SparkSession,
     checkpoint_dir: str,

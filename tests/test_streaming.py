@@ -215,3 +215,38 @@ def test_neardup_stream_bounded_state_candidates(spark, tmp_path):
     assert len(partners_109) <= 2 * LSH_BANDS
     assert not {(a, b) for a, b in pairs
                 if a >= 104 and b >= 105}   # late flood never inter-pairs
+
+
+def test_semdedup_stream_flags_cross_drop_duplicates(spark, tmp_path):
+    """Streaming SemDeDup: representatives persist across drops (an
+    exact copy arriving in drop 2 of a drop-1 vector flags), state per
+    cluster stays capped, and a genuinely novel vector passes."""
+    from pii_redactor_spark.operators.clustering import kmeans_fit
+    from pii_redactor_spark.streaming.stream import semdedup_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb)
+    schema = "vec_id long, embedding array<float>, label int"
+    src = str(tmp_path / "in")
+    out_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ck")
+
+    d1 = emb.filter("vec_id < 300")
+    d1.coalesce(1).write.mode("append").parquet(src)
+    q = semdedup_stream(spark, src, schema, out_dir, ckpt, cents)
+    q.awaitTermination(120)
+
+    # drop 2: new vectors + exact COPIES of three drop-1 vectors
+    copies = emb.filter("vec_id IN (10, 20, 30)") \
+        .selectExpr("vec_id + 100000 AS vec_id", "embedding", "label")
+    emb.filter("vec_id >= 300").unionByName(copies) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = semdedup_stream(spark, src, schema, out_dir, ckpt, cents)
+    q.awaitTermination(120)
+
+    flags = {r["vec_id"]: r["is_dup"]
+             for r in spark.read.parquet(out_dir).collect()}
+    assert len(flags) == 503
+    assert flags[100010] and flags[100020] and flags[100030]
+    # drop-1 originals were first-seen in their cluster: never flagged
+    assert not flags[10] and not flags[20] and not flags[30]
