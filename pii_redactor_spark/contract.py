@@ -1221,10 +1221,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(COALESCE(per.n_grams, 0) AS INT) AS n_grams,
            CAST(COALESCE(per.n_dup_grams, 0) AS INT) AS n_dup_grams,
-           CASE WHEN COALESCE(per.n_grams, 0) > 0
-                THEN round(CAST(per.n_dup_grams AS DOUBLE)
-                           / per.n_grams, 6)
-                ELSE 0.0 END AS dup_ratio
+           CAST(CASE WHEN COALESCE(per.n_grams, 0) > 0
+                THEN CAST(per.n_dup_grams AS BIGINT) * 1000000
+                     // per.n_grams
+                ELSE 0 END AS BIGINT) AS dup_ppm
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
 )

@@ -157,14 +157,22 @@ def make_mlp_embed_udf():
     """Iterator pandas UDF twin: per-batch numpy scatter + two integer
     matmuls — identical bits to the expression form (equality-tested in
     test_encoder). Takes the pre-computed (bucket, sign) arrays so the
-    md5 hashing stays JVM-side (the simhash/BoW precedent)."""
+    md5 hashing stays JVM-side (the simhash/BoW precedent).
+
+    Weights are resolved HERE, at UDF construction time, so cloudpickle
+    ships the actual arrays in the closure: the UDF body executes in
+    executor Python workers where a driver-side ``preload()`` never
+    lands (round-4 ADVICE — calling ``mlp_weights()`` inside the body
+    silently served the md5 defaults after an artifact swap; the fused
+    kernels in plans/pipeline.py closure-capture for the same reason)."""
     from pyspark.sql.types import ArrayType, LongType
+
+    w1, b1, w2 = mlp_weights()
+    dim = len(w1)
 
     @F.pandas_udf(ArrayType(LongType()))
     def mlp(batches: Iterator[Tuple[pd.Series, pd.Series]]
             ) -> Iterator[pd.Series]:
-        w1, b1, w2 = mlp_weights()
-        dim = len(w1)
         for buckets, signs in batches:
             n = len(buckets)
             lens = np.array([0 if b is None else len(b) for b in buckets],
@@ -271,10 +279,12 @@ def probe_vector(out_dim: int = MLP_OUT) -> list[int]:
 def mlp_summary(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
                 vectorized: bool = True) -> DataFrame:
-    """(id, emb_l2, argmax_pos, probe_dot) — contract-safe scalar view
+    """(id, emb_sq, argmax_pos, probe_dot) — contract-safe scalar view
     of the MLP embedding (the driver's canonicalizer cannot hash raw
-    array cells). Sum of squares and the probe dot are exact BIGINT;
-    only the final L2 norm touches doubles.
+    array cells). Every column is exact BIGINT: emb_sq is the sum of
+    squared coordinates (round-4 ADVICE — its rounded square root was
+    a rounded double in an oracle-gated output; consumers derive the
+    L2 norm with one sqrt).
 
     ``vectorized=True`` (default) serves the network through the
     Arrow/numpy twin — bit-identical to the expression form (integer
@@ -296,7 +306,7 @@ def mlp_summary(docs: DataFrame, text_col: str = "text",
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return emb.select(
         id_col,
-        F.round(F.sqrt(sq.cast("double")), 6).alias("emb_l2"),
+        sq.alias("emb_sq"),
         F.array_position(F.col("emb"), F.array_max(F.col("emb")))
         .cast("bigint").alias("argmax_pos"),
         dot.alias("probe_dot"),
@@ -310,8 +320,8 @@ def mlp_summary_oracle_sql(table: str = "documents",
     return f"""
 {mlp_embed_cte(table, text_col, id_col)}
 SELECT {id_col},
-       round(sqrt(CAST(list_sum(list_transform(e, x -> x * x))
-                       AS DOUBLE)), 6) AS emb_l2,
+       CAST(list_sum(list_transform(e, x -> x * x))
+            AS BIGINT) AS emb_sq,
        CAST(list_position(e, list_max(e)) AS BIGINT) AS argmax_pos,
        CAST(list_sum(list_transform(list_zip(e, [{probe}]),
                      p -> p[1] * p[2])) AS BIGINT) AS probe_dot

@@ -510,7 +510,10 @@ def span_dup_stats(docs: DataFrame, n: int = SPAN_N,
     in at least one OTHER document. The published pipeline removes the
     duplicated spans (a positional rewrite); this operator emits the
     per-doc signal a gate or rewrite consumes:
-    (id, n_grams, n_dup_grams, dup_ratio).
+    (id, n_grams, n_dup_grams, dup_ppm). The rate is an exact integer
+    ppm (n_dup_grams * 1e6 DIV n_grams) — never a rounded double, per
+    the repo's half-boundary rule (round-4 ADVICE: 1/640 = 0.0015625
+    rounds differently in Spark BigDecimal HALF_UP vs DuckDB).
 
     Scale shape: the gram stream is |corpus| x ~n_words rows keyed by
     the uniform 60-bit rot-xor gram hash (functions/rules.py — one md5
@@ -549,10 +552,9 @@ def span_dup_stats(docs: DataFrame, n: int = SPAN_N,
             F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
             F.coalesce("n_dup_grams", F.lit(0)).cast("int")
             .alias("n_dup_grams"),
-            F.when(F.coalesce("n_grams", F.lit(0)) > 0,
-                   F.round(F.col("n_dup_grams").cast("double")
-                           / F.col("n_grams"), 6))
-            .otherwise(F.lit(0.0)).alias("dup_ratio"),
+            F.expr("CASE WHEN coalesce(n_grams, 0) > 0 THEN "
+                   "CAST(n_dup_grams AS BIGINT) * 1000000 DIV n_grams "
+                   "ELSE 0 END").cast("bigint").alias("dup_ppm"),
         )
     )
 
@@ -591,11 +593,24 @@ def span_dedup_rewrite(docs: DataFrame, n: int = SPAN_N,
         .withColumn("_g", hashed_ngrams_col(F.col("_wh"), n))
         .select(id_col, "_w", "_g")
     )
+    # Loud guard (round-4 ADVICE): a document with >= 2^20 words would
+    # overflow its position range into the next doc_id's key space and
+    # silently mis-rank the global first occurrence IDENTICALLY on both
+    # engines (the oracle mirrors the arithmetic, so it cannot catch
+    # it). raise_error beats mis-ranking; the CASE is lazy per row.
     occ = (
         pre.select(id_col, F.posexplode_outer("_g").alias("pos", "g"))
         .where(F.col("g").isNotNull())
-        .withColumn("_k", F.col(id_col) * F.lit(_SPAN_POS_LIM)
-                    + F.col("pos"))
+        .withColumn("_k", F.when(
+            F.col("pos") < F.lit(_SPAN_POS_LIM),
+            F.col(id_col) * F.lit(_SPAN_POS_LIM) + F.col("pos"))
+            .otherwise(F.raise_error(F.format_string(
+                "span_dedup_rewrite: document position %s exceeds "
+                "_SPAN_POS_LIM=%s words — raise the limit (doc ids "
+                "must stay < 2^63/LIM)",
+                F.col("pos").cast("string"),
+                F.lit(str(_SPAN_POS_LIM))))
+                .cast("bigint")))
     )
     owners = occ.groupBy("g").agg(F.min("_k").alias("_mn"),
                                   F.count("*").alias("_n"))

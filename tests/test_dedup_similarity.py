@@ -409,8 +409,8 @@ def test_hash_split_fractions_and_determinism(spark):
 
 def test_span_dup_stats_exact_dup_is_fully_flagged(spark):
     """An exact duplicate's every gram occurs in >= 2 docs, so its
-    dup_ratio is exactly 1.0; a unique doc with >= n words scores 0;
-    docs shorter than n words have no grams (0, ratio 0)."""
+    dup_ppm is exactly 1000000; a unique doc with >= n words scores 0;
+    docs shorter than n words have no grams (0, ppm 0)."""
     from pii_redactor_spark.operators import dedup
     from pii_redactor_spark.operators.cache import release_caches
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -420,28 +420,28 @@ def test_span_dup_stats_exact_dup_is_fully_flagged(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in dedup.span_dup_stats(df).collect()}
     release_caches()
-    assert out[0]["dup_ratio"] == 1.0 and out[1]["dup_ratio"] == 1.0
-    assert out[2]["n_grams"] == 3 and out[2]["dup_ratio"] == 0.0
-    assert out[3]["n_grams"] == 0 and out[3]["dup_ratio"] == 0.0
+    assert out[0]["dup_ppm"] == 1000000 and out[1]["dup_ppm"] == 1000000
+    assert out[2]["n_grams"] == 3 and out[2]["dup_ppm"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_ppm"] == 0
 
 
 def test_span_dup_fires_on_planted_corpus_dups(spark):
     """The signal SEPARATES on the synthetic corpus: every member of a
-    Jaccard-verified near-dup pair carries a high duplicate-span ratio
-    (measured 0.75-1.0 at sf0.001) while the clean majority scores
+    Jaccard-verified near-dup pair carries a high duplicate-span rate
+    (measured 750k-1M ppm at sf0.001) while the clean majority scores
     exactly 0 — the gate a Lee-et-al-style rewrite would act on."""
     from pii_redactor_spark.operators import dedup
     from pii_redactor_spark.operators.cache import release_caches
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pairs = dedup.jaccard_pairs(docs).filter("is_dup").collect()
     assert pairs  # the corpus plants near-dups
-    stats = {r["doc_id"]: r["dup_ratio"]
+    stats = {r["doc_id"]: r["dup_ppm"]
              for r in dedup.span_dup_stats(docs).collect()}
     release_caches()
     members = {p["id_a"] for p in pairs} | {p["id_b"] for p in pairs}
-    assert all(stats[i] >= 0.7 for i in members)
+    assert all(stats[i] >= 700000 for i in members)
     clean = [v for i, v in stats.items() if i not in members]
-    assert sum(1 for v in clean if v == 0.0) >= 0.9 * len(clean)
+    assert sum(1 for v in clean if v == 0) >= 0.9 * len(clean)
 
 
 def test_minhash_vectorized_matches_expression(spark):
@@ -530,3 +530,19 @@ def test_span_rewrite_null_and_short_docs(spark):
     assert out[2]["n_removed"] == 0
     assert out[2]["cleaned_hash"] == \
         hashlib.md5(b"short doc").hexdigest()
+
+
+def test_span_rewrite_position_overflow_fails_loudly(spark, monkeypatch):
+    """Round-4 ADVICE: a document longer than _SPAN_POS_LIM words would
+    overflow into the next doc_id's occurrence-key range and silently
+    corrupt the global first-owner selection on BOTH engines — the
+    rewrite must raise instead of mis-ranking (limit shrunk via
+    monkeypatch; a real 2^20-word doc is impractical in a test)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    monkeypatch.setattr(dedup, "_SPAN_POS_LIM", 8)
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="_SPAN_POS_LIM"):
+        dedup.span_dedup_rewrite(df).collect()
+    release_caches()

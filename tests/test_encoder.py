@@ -111,3 +111,24 @@ def test_mlp_summary_vectorized_matches_expression(docs):
     b = sorted(map(tuple,
                    encoder.mlp_summary(docs, vectorized=True).collect()))
     assert a == b
+
+
+def test_preloaded_artifact_reaches_udf_executors(docs):
+    """Round-4 ADVICE regression: the Arrow twin must serve the
+    PRELOADED artifact, not the md5 defaults — executor Python workers
+    never see a driver-side preload(), so make_mlp_embed_udf resolves
+    the weight arrays at construction time and cloudpickle ships them
+    in the closure (the fused-kernel pattern of plans/pipeline.py)."""
+    try:
+        w1, b1, w2 = encoder.mlp_weights()
+        base = {r["doc_id"]: r["emb"]
+                for r in encoder.mlp_embeddings_udf(docs).collect()}
+        encoder.preload((w1, b1 + 3, w2))
+        expr = {r["doc_id"]: r["emb"]
+                for r in encoder.with_mlp_embedding(docs).collect()}
+        udf = {r["doc_id"]: r["emb"]
+               for r in encoder.mlp_embeddings_udf(docs).collect()}
+        assert udf == expr      # both serve the fitted artifact...
+        assert udf != base      # ...which actually changed the output
+    finally:
+        encoder.clear_preload()
