@@ -546,3 +546,53 @@ def test_span_rewrite_position_overflow_fails_loudly(spark, monkeypatch):
     with pytest.raises(Exception, match="_SPAN_POS_LIM"):
         dedup.span_dedup_rewrite(df).collect()
     release_caches()
+
+
+def test_components_one_job_per_round(spark):
+    """Round-4 verdict item 5: the convergence check rides the round's
+    own materializing aggregate (the previous label is a column on the
+    round frame), so a round costs exactly ONE full-corpus action —
+    never the old second neighbor-vs-old count-JOIN. Measured as SQL
+    EXECUTIONS (AQE/broadcast builds legitimately split one action into
+    several jobs; an execution is what a 100 TB round pays full-corpus
+    latency for). max_iter=4 with no checkpoint round inside: 4 rounds
+    x 1 execution + the single final eager checkpoint = 5. A lazy
+    checkpoint round adds one BOOKKEEPING execution (verified 0 jobs in
+    Spark 4.1 — Dataset.checkpoint always records a withAction), still
+    one materializing action."""
+    from pii_redactor_spark.operators.cache import release_caches
+    n = 50
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def executions():
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        return store.executionsCount()
+
+    before = executions()
+    try:
+        labels = dedup.components_from_edges(
+            nodes, edges, max_iter=4, checkpoint_every=5)
+        # 4 rounds x 1 materializing agg + 1 final eager checkpoint
+        assert executions() - before == 5
+        assert labels.columns == ["node", "component"]
+    finally:
+        release_caches()
+
+
+def test_components_returned_plan_is_bounded_scan(spark):
+    """Round-4 verdict item 4: the RETURNED frame's plan must be the
+    runtime truth — a checkpointed ExistingRDD scan, not the loop's
+    unexecuted worst-case lineage (the old dump recorded 82 shuffles
+    that the caches never ran)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.dedup_components(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan or plan.count("Exchange") <= 1, plan
+    assert len(out.collect()) == 5
+    release_caches()
