@@ -1940,3 +1940,40 @@ def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("sum_q_logit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 sentence-level rules (functions/rules.py c4_stats — Raffel et al.
+# 2020 §2.2): terminal-punctuation + min-words line filter, javascript
+# line drop, three-sentence / lorem-ipsum / curly-brace page gate. The
+# driver corpus is a punctuation-free word stream, so both engines run
+# the rules over the SAME deterministic md5-punctuated view
+# (synth_punct_col / synth_punct_sql) — real corpora run them on their
+# own text. One projection, zero shuffle.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.functions import rules as _rules  # noqa: E402
+
+
+@register("q_quality_c4", oracle=_rules.c4_stats_oracle_sql())
+def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    punct = docs.withColumn("_t2", _rules.synth_punct_col(F.col("text")))
+    return _rules.c4_stats(punct, text_col="_t2")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granular duplicate-span rewrite (dedup.py
+# span_dedup_rewrite_paragraphs): keep-one-copy of every cross-document
+# duplicated paragraph. Runs over the same md5-punctuated view as
+# q_quality_c4 so the corpus actually HAS line structure; near-dup
+# documents share whole derived lines, exercising the rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "q_span_para",
+    oracle=_dd.span_rewrite_paragraphs_oracle_sql(
+        "documents", _rules.synth_punct_sql("text")),
+)
+def q_span_para(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    punct = docs.withColumn("_t2", _rules.synth_punct_col(F.col("text")))
+    return _dd.span_dedup_rewrite_paragraphs(punct, text_col="_t2")

@@ -364,3 +364,141 @@ def with_quality(df: DataFrame, text_col: str = "text",
         df = df.withColumn("is_toxic", toxicity_hit(text_col, list(th.toxicity_words)))
     keep, reasons = keep_decision(th)
     return df.withColumn("keep", keep).withColumn("reasons", reasons)
+
+
+# --------------------------------------------------------------------------
+# C4 sentence-level rules (Raffel et al. 2020 §2.2) — the line/sentence
+# family the paragraph-free Gopher stats above cannot express. C4 keeps
+# only lines that end in a terminal punctuation mark and have >= 5
+# words, drops lines mentioning javascript, and drops whole pages with
+# fewer than 3 sentences, a "lorem ipsum" marker, or a curly brace
+# (code). All expression-form, mirrored exactly in the DuckDB oracle.
+#
+# The driver corpus is a punctuation-free word stream (TESTDATA.md), so
+# sentence boundaries cannot come from the data: ``synth_punct_col``
+# derives a deterministic punctuated view (md5-keyed sentence enders +
+# line breaks, same arithmetic on both engines). Real corpora skip the
+# synthesis and run the rules on their own text.
+# --------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5   # C4 §2.2: "only retained lines that ... contained
+C4_MIN_SENTENCES = 3    # at least 5 words"; "at least 3 sentences"
+
+
+def synth_punct_col(text: Column) -> Column:
+    """Deterministic punctuated view of a word stream: each word w gets
+    a sentence-terminating '.' iff md5('c4:'||w) starts with hex 0-3
+    (P=1/4), and is followed by a line break instead of a space iff the
+    second hex digit is '0' (P=1/16) — giving ~4-word sentences and
+    ~16-word lines with doc-dependent variation. NULL text -> ''."""
+    def tok(w: Column) -> Column:
+        m = F.md5(F.concat(F.lit("c4:"), w))
+        punct = F.when(F.substring(m, 1, 1).isin("0", "1", "2", "3"),
+                       F.lit(".")).otherwise(F.lit(""))
+        sep = F.when(F.substring(m, 2, 1) == "0",
+                     F.lit("\n")).otherwise(F.lit(" "))
+        return F.concat(w, punct, sep)
+    return F.trim(F.coalesce(
+        F.array_join(F.transform(words_col(text), tok), ""), F.lit("")))
+
+
+def synth_punct_sql(text_expr: str) -> str:
+    """DuckDB twin of ``synth_punct_col`` (same md5 arithmetic)."""
+    words = ("list_filter(string_split_regex(trim({t}), '\\s+'), "
+             "w -> w <> '')").format(t=text_expr)
+    tok = ("w || (CASE WHEN substr(md5('c4:' || w), 1, 1) IN "
+           "('0','1','2','3') THEN '.' ELSE '' END) || "
+           "(CASE WHEN substr(md5('c4:' || w), 2, 1) = '0' "
+           "THEN chr(10) ELSE ' ' END)")
+    return (f"trim(COALESCE(array_to_string("
+            f"list_transform({words}, w -> {tok}), ''), ''))")
+
+
+def c4_stats(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id",
+             min_line_words: int = C4_MIN_LINE_WORDS,
+             min_sentences: int = C4_MIN_SENTENCES) -> DataFrame:
+    """(id, n_lines, n_kept_lines, n_sentences, c4_keep, kept_hash,
+    kept_len): the C4 line filter + page gate over ``text_col`` (which
+    must carry real line/sentence structure — compose with
+    ``synth_punct_col`` for the synthetic corpus).
+
+    Line keep: trimmed line ends in [.!?"], has >= min_line_words
+    words, and does not mention javascript. Page keep: >= min_sentences
+    terminal marks across kept lines, no 'lorem ipsum', no '{'.
+    Everything is one projection over the scan — zero shuffle, zero
+    Python; counts are exact ints and the kept text is pinned by
+    md5+length (the contract comparator's compact form)."""
+    t = F.col(text_col)
+    lines = F.transform(lines_col(t), lambda l: F.trim(l))
+    pre = df.withColumn("_lns", lines)
+
+    def line_ok(l: Column) -> Column:
+        n_words = F.size(F.filter(F.split(l, r"\s+"),
+                                  lambda w: w != ""))
+        return (l.rlike(r'[.!?"]$')
+                & (n_words >= F.lit(min_line_words))
+                & ~F.contains(F.lower(l), F.lit("javascript")))
+
+    pre = pre.withColumn("_kept", F.filter(F.col("_lns"), line_ok))
+    kept_text = F.array_join(F.col("_kept"), "\n")
+    n_sent = F.aggregate(
+        F.col("_kept"), F.lit(0),
+        lambda acc, l: acc + F.length(l)
+        - F.length(F.regexp_replace(l, r"[.!?]", "")))
+    low = F.lower(F.coalesce(t, F.lit("")))
+    page_ok = ((n_sent >= F.lit(min_sentences))
+               & ~F.contains(low, F.lit("lorem ipsum"))
+               & ~F.contains(low, F.lit("{")))
+    return pre.select(
+        id_col,
+        F.size("_lns").cast("int").alias("n_lines"),
+        F.size("_kept").cast("int").alias("n_kept_lines"),
+        n_sent.cast("int").alias("n_sentences"),
+        page_ok.alias("c4_keep"),
+        F.md5(kept_text).alias("kept_hash"),
+        F.length(kept_text).cast("int").alias("kept_len"),
+    )
+
+
+def c4_stats_oracle_sql(table: str = "documents",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        synth: bool = True,
+                        min_line_words: int = C4_MIN_LINE_WORDS,
+                        min_sentences: int = C4_MIN_SENTENCES) -> str:
+    """DuckDB twin of ``c4_stats`` (optionally over the synthesized
+    punctuated view)."""
+    t2 = synth_punct_sql(text_col) if synth else text_col
+    line_ok = (
+        f"regexp_matches(l, '[.!?\"]$') AND "
+        f"len(list_filter(string_split_regex(l, '\\s+'), w -> w <> ''))"
+        f" >= {min_line_words} AND "
+        f"NOT contains(lower(l), 'javascript')")
+    n_sent = ("list_sum(list_transform(kept, l -> "
+              "length(l) - length(regexp_replace(l, '[.!?]', '', 'g'))))")
+    return f"""
+    WITH p AS (SELECT {id_col}, {t2} AS t2 FROM {table}),
+    b AS (
+      SELECT {id_col}, t2,
+             list_transform(list_filter(string_split(t2, chr(10)),
+                            l -> trim(l) <> ''), l -> trim(l)) AS lns
+      FROM p),
+    k AS (
+      SELECT {id_col}, t2, lns,
+             list_filter(lns, l -> {line_ok}) AS kept
+      FROM b)
+    SELECT {id_col},
+           CAST(len(lns) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept_lines,
+           CAST(COALESCE({n_sent}, 0) AS INT) AS n_sentences,
+           (COALESCE({n_sent}, 0) >= {min_sentences}
+            AND NOT contains(lower(COALESCE(t2, '')), 'lorem ipsum')
+            AND NOT contains(lower(COALESCE(t2, '')), '{{'))
+           AS c4_keep,
+           md5(COALESCE(array_to_string(kept, chr(10)), ''))
+           AS kept_hash,
+           CAST(length(COALESCE(array_to_string(kept, chr(10)), ''))
+                AS INT) AS kept_len
+    FROM k
+    """

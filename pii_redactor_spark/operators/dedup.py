@@ -861,3 +861,120 @@ SELECT md5({text_col}) AS text_hash,
        MIN({id_col}) AS rep_id
 FROM {table} GROUP BY 1
 """
+
+
+def span_dedup_rewrite_paragraphs(docs: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Paragraph-granular variant of ``span_dedup_rewrite`` (Lee et al.
+    2022 applied at the line/paragraph level, the C4-companion shape):
+    every occurrence of a cross-document duplicated PARAGRAPH (trimmed
+    non-blank line) is removed except the globally first one (lowest
+    (doc_id, position) BIGINT key — keep-one-copy). Returns
+    (id, n_paras, n_removed, cleaned_hash, cleaned_len) with the
+    rewritten text pinned by md5+length of the kept lines joined by
+    newline.
+
+    Shape: one md5-per-line projection, ONE hash-groupBy on the line
+    hash for global first owners, one co-partitioned join back, one
+    per-doc rollup, and the rewrite itself is a positional
+    ``F.filter(lines, (l, i) -> ...)`` projection — no n-gram window
+    math because paragraph granularity removes whole elements. Same
+    occurrence-key overflow guard as the word-level rewrite."""
+    from pii_redactor_spark.operators.cache import registered_persist
+    pre = registered_persist(
+        docs
+        .withColumn("_ls", F.transform(
+            F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.trim(l) != ""),
+            lambda l: F.trim(l)))
+        .select(id_col, "_ls")
+    )
+    occ = (
+        pre.select(id_col, F.posexplode_outer("_ls").alias("pos", "l"))
+        .where(F.col("l").isNotNull())
+        .withColumn("_h", F.md5("l"))
+        .withColumn("_k", F.when(
+            F.col("pos") < F.lit(_SPAN_POS_LIM),
+            F.col(id_col) * F.lit(_SPAN_POS_LIM) + F.col("pos"))
+            .otherwise(F.raise_error(F.lit(
+                "span_dedup_rewrite_paragraphs: position exceeds "
+                "_SPAN_POS_LIM")).cast("bigint")))
+    )
+    owners = occ.groupBy("_h").agg(F.min("_k").alias("_mn"),
+                                   F.count("*").alias("_n"))
+    dup_occ = (
+        occ.join(owners, "_h")
+        .where((F.col("_n") >= 2) & (F.col("_k") != F.col("_mn")))
+        .select(id_col, F.col("pos").cast("bigint").alias("pos"))
+    )
+    cov = dup_occ.groupBy(id_col).agg(F.collect_list("pos").alias("_poss"))
+    joined = (
+        pre.join(cov, id_col, "left")
+        .withColumn("_poss", F.coalesce(
+            F.col("_poss"), F.expr("CAST(array() AS array<bigint>)")))
+        # two-arg HOF lambda is (element, index) BY POSITION — here
+        # that is exactly what we want (CLAUDE.md arity rule)
+        .withColumn("_kept", F.filter(
+            "_ls",
+            lambda l, i: ~F.array_contains(F.col("_poss"),
+                                           i.cast("bigint"))))
+        .withColumn("_clean", F.array_join("_kept", "\n"))
+    )
+    return joined.select(
+        id_col,
+        F.size("_ls").alias("n_paras"),  # NULL text -> NULL, like len()
+        F.when(F.col("_ls").isNotNull(),
+               F.size("_ls") - F.size("_kept")).cast("int")
+        .alias("n_removed"),
+        F.when(F.col("_ls").isNotNull(), F.md5("_clean"))
+        .alias("cleaned_hash"),
+        F.when(F.col("_ls").isNotNull(), F.length("_clean"))
+        .cast("int").alias("cleaned_len"),
+    )
+
+
+def span_rewrite_paragraphs_oracle_sql(table: str, text_expr: str,
+                                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``span_dedup_rewrite_paragraphs`` over
+    ``text_expr`` (an expression yielding the line-structured text).
+    DuckDB's positional list_filter index is 1-based vs Spark's
+    0-based, hence the ``i - 1``."""
+    return f"""
+WITH p AS (SELECT {id_col}, {text_expr} AS t2 FROM {table}),
+base AS (
+  SELECT {id_col},
+         list_transform(list_filter(string_split(t2, chr(10)),
+                        l -> trim(l) <> ''), l -> trim(l)) AS ls
+  FROM p),
+occ0 AS (
+  SELECT {id_col},
+         CAST(unnest(range(len(ls))) AS BIGINT) AS pos,
+         unnest(ls) AS l
+  FROM base),
+occ AS (SELECT {id_col}, pos, md5(l) AS h FROM occ0),
+owners AS (
+  SELECT h, MIN({id_col} * {_SPAN_POS_LIM} + pos) AS mn,
+         COUNT(*) AS n
+  FROM occ GROUP BY h),
+dup AS (
+  SELECT o.{id_col}, o.pos FROM occ o JOIN owners w ON o.h = w.h
+  WHERE w.n >= 2 AND o.{id_col} * {_SPAN_POS_LIM} + o.pos <> w.mn),
+cov AS (SELECT {id_col}, list(pos) AS poss FROM dup GROUP BY {id_col}),
+rw AS (
+  SELECT b.{id_col}, b.ls,
+         list_filter(b.ls, (l, i) -> NOT list_contains(
+           COALESCE(c.poss, CAST([] AS BIGINT[])),
+           CAST(i - 1 AS BIGINT))) AS kept
+  FROM base b LEFT JOIN cov c ON b.{id_col} = c.{id_col})
+SELECT {id_col},
+       CAST(len(ls) AS INT) AS n_paras,
+       CAST(len(ls) - len(kept) AS INT) AS n_removed,
+       CASE WHEN ls IS NULL THEN NULL ELSE
+         md5(COALESCE(array_to_string(kept, chr(10)), '')) END
+       AS cleaned_hash,
+       CAST(CASE WHEN ls IS NULL THEN NULL ELSE
+         length(COALESCE(array_to_string(kept, chr(10)), '')) END
+         AS INT) AS cleaned_len
+FROM rw
+"""

@@ -596,3 +596,44 @@ def test_components_returned_plan_is_bounded_scan(spark):
     assert "Exchange" not in plan or plan.count("Exchange") <= 1, plan
     assert len(out.collect()) == 5
     release_caches()
+
+
+def test_span_rewrite_paragraphs_keep_first_semantics(spark):
+    """Cross-doc duplicated paragraphs keep exactly the globally-first
+    occurrence (lowest (doc_id, pos)); within-doc repeats lose their
+    later copies; unique paragraphs are untouched."""
+    import hashlib
+    from pii_redactor_spark.operators.cache import release_caches
+    dup = "this paragraph appears in two documents."
+    rows = [
+        (0, f"unique first line.\n{dup}\n{dup}"),   # pos1 owns, pos2 dup
+        (1, f"{dup}\nanother unique line here."),    # loses its copy
+        (2, "totally unrelated single paragraph."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.span_dedup_rewrite_paragraphs(df).collect()}
+    release_caches()
+    assert out[0]["n_paras"] == 3 and out[0]["n_removed"] == 1
+    want0 = "unique first line.\n" + dup
+    assert out[0]["cleaned_hash"] == hashlib.md5(
+        want0.encode()).hexdigest()
+    assert out[1]["n_paras"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["cleaned_hash"] == hashlib.md5(
+        b"another unique line here.").hexdigest()
+    assert out[2]["n_removed"] == 0
+
+
+def test_span_rewrite_paragraphs_fires_on_synth_corpus(spark):
+    """Non-degeneracy: over the md5-punctuated view of the sf0.001
+    corpus the planted near-dups share whole derived lines, so the
+    rewrite removes paragraphs somewhere."""
+    from pyspark.sql import functions as F
+    from pii_redactor_spark.functions.rules import synth_punct_col
+    from pii_redactor_spark.operators.cache import release_caches
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    punct = docs.withColumn("_t2", synth_punct_col(F.col("text")))
+    out = dedup.span_dedup_rewrite_paragraphs(punct, text_col="_t2")
+    removed = out.agg(F.sum("n_removed")).first()[0]
+    release_caches()
+    assert removed and removed > 0

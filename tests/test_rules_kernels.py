@@ -257,3 +257,74 @@ class TestKernelGoldenValues:
         assert all(preds[i] == lang for i, (lang, _) in enumerate(sents))
         kpred, _ = predict_lang_batch([t for _, t in sents])
         assert all(kpred[i] == lang for i, (lang, _) in enumerate(sents))
+
+
+class TestC4SentenceRules:
+    """C4 §2.2 line/sentence rules (functions/rules.c4_stats) over
+    hand-authored punctuated documents — the sentence-granular family
+    the word-stream Gopher stats cannot express."""
+
+    def _run(self, spark, rows):
+        from pii_redactor_spark.functions.rules import c4_stats
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in c4_stats(df).collect()}
+
+    def test_terminal_punctuation_and_min_words(self, spark):
+        out = self._run(spark, [
+            # line 1 keeps (5 words, terminal '.'), line 2 dropped (no
+            # terminal punct), line 3 dropped (4 words)
+            (0, "alpha beta gamma delta epsilon.\n"
+                "zeta eta theta iota kappa\n"
+                "small line drops here."),
+        ])
+        assert out[0]["n_lines"] == 3
+        assert out[0]["n_kept_lines"] == 1
+        assert out[0]["n_sentences"] == 1
+
+    def test_three_sentence_page_gate(self, spark):
+        two = "one two three four five. six seven eight nine ten."
+        three = two + " eleven twelve thirteen fourteen fifteen."
+        out = self._run(spark, [(0, two), (1, three)])
+        assert out[0]["n_sentences"] == 2 and not out[0]["c4_keep"]
+        assert out[1]["n_sentences"] == 3 and out[1]["c4_keep"]
+
+    def test_javascript_line_and_page_markers(self, spark):
+        base = ("good first line with words here.\n"
+                "good second line with words too.\n"
+                "good third line with more words.")
+        out = self._run(spark, [
+            (0, base),
+            (1, base + "\nplease enable JavaScript to view this."),
+            (2, base + "\nlorem ipsum dolor sit amet filler."),
+            (3, base.replace("third", "brace { third")),
+        ])
+        assert out[0]["c4_keep"]
+        # the javascript LINE is dropped, page survives on 3 sentences
+        assert out[1]["n_kept_lines"] == 3 and out[1]["c4_keep"]
+        assert not out[2]["c4_keep"]   # lorem ipsum page marker
+        assert not out[3]["c4_keep"]   # curly brace page marker
+
+    def test_kept_text_hash_pins_rewrite(self, spark):
+        import hashlib
+        keep_a = "alpha beta gamma delta epsilon."
+        keep_b = "zeta eta theta iota kappa mu!"
+        out = self._run(spark, [(0, keep_a + "\nno punct line\n" + keep_b)])
+        want = hashlib.md5((keep_a + "\n" + keep_b).encode()).hexdigest()
+        assert out[0]["kept_hash"] == want
+        assert out[0]["kept_len"] == len(keep_a) + 1 + len(keep_b)
+
+    def test_synth_punct_is_deterministic_and_fires(self, spark):
+        """The md5-punctuated view gives the corpus real line/sentence
+        structure: both keeps and drops occur at sf0.001, and the view
+        is identical across evaluations (pure expression)."""
+        from pii_redactor_spark.functions.rules import (
+            c4_stats, synth_punct_col)
+        from pyspark.sql import functions as F
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        punct = docs.withColumn("_t2", synth_punct_col(F.col("text")))
+        out = c4_stats(punct, text_col="_t2").collect()
+        keeps = sum(1 for r in out if r["c4_keep"])
+        assert 0 < keeps < len(out)
+        again = c4_stats(punct, text_col="_t2").collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
