@@ -1977,3 +1977,25 @@ def q_span_para(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     punct = docs.withColumn("_t2", _rules.synth_punct_col(F.col("text")))
     return _dd.span_dedup_rewrite_paragraphs(punct, text_col="_t2")
+
+
+# ---------------------------------------------------------------------------
+# Batch twins of the two pytest-only STREAMING selectors (round-4
+# verdict item 6): their capped keep-first-seen semantics replayed
+# deterministically under id arrival order, so the DuckDB hash gate
+# pins what the streaming operators compute. test_streaming also
+# asserts stream output == replay on an ordered drop.
+# ---------------------------------------------------------------------------
+from pii_redactor_spark.operators import clustering as _km2  # noqa: E402
+
+
+@register("q_neardup_stream_twin",
+          oracle=_dd.neardup_stream_oracle_sql())
+def q_neardup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.neardup_stream_replay(_t(spark, sf_dir, "documents"))
+
+
+@register("q_semdedup_stream_twin",
+          oracle=_km2.semdedup_stream_oracle_sql())
+def q_semdedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _km2.semdedup_stream_replay(_t(spark, sf_dir, "embeddings"))

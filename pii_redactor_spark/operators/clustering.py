@@ -444,3 +444,114 @@ SELECT vec_id, CAST(cid AS INT) AS cid, round(d2, 6) AS d2,
        rn <= greatest(1, (cnt * {keep_pct}) // 100) AS keep
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch replay of the STREAMING SemDeDup selector (round-4 verdict item
+# 6): streaming/stream.py semdedup_stream keeps at most
+# SEM_STREAM_CAP representative vectors per cluster and flags an
+# arrival as dup iff it matches a CURRENT representative (keep-first-
+# seen). That is deterministic given the arrival order, so the same
+# semantics replayed in vec_id order is an ordinary oracle-checkable
+# batch operator — the hash gate pins what the streaming selector
+# computes.
+# ---------------------------------------------------------------------------
+SEM_STREAM_CAP = 64
+
+
+def semdedup_stream_replay(emb: DataFrame, k: int = KM_K,
+                           iters: int = KM_ITERS, tau: float = SEM_TAU,
+                           dim: int = EMB_DIM,
+                           cap: int = SEM_STREAM_CAP,
+                           cents: list[tuple[int, list[float]]] | None
+                           = None) -> DataFrame:
+    """(vec_id, cid:int, is_dup) — semdedup_stream's capped keep-first-
+    seen semantics under vec_id arrival order: a vector is dup iff its
+    cosine to a CURRENT representative clears tau; non-dups join the
+    representatives until ``cap``; past the cap, novel vectors pass
+    unflagged (the documented streaming recall trade).
+
+    Differs from batch ``semdedup`` exactly where the semantics differ:
+    there a dup can itself flag later vectors; here only
+    representatives (non-dups) do, and only the first ``cap``.
+    Cosines use the same blocked VERTICAL fold as
+    ``_semdedup_flags_arrow`` (bit-equal to the oracle's left-to-right
+    list_sum); the rep-set evolution after that is pure boolean
+    sequencing, which the DuckDB oracle replays as a recursive CTE."""
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy())
+        n, dimn = V.shape
+        s = np.zeros(n)
+        for d in range(dimn):                      # left-to-right fold
+            col = V[:, d]
+            s += col * col
+        norm = np.sqrt(s)
+        dup = np.zeros(n, dtype=bool)
+        reps: list[int] = []
+        for lo in range(0, n, SEM_BLOCK):
+            hi = min(lo + SEM_BLOCK, n)
+            D = np.zeros((hi - lo, hi))
+            for d in range(dimn):                  # left-to-right fold
+                col = V[:, d]
+                D += np.outer(col[lo:hi], col[:hi])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                C = D / np.outer(norm[lo:hi], norm[:hi])
+            hit = (C >= tau) | np.isnan(C)         # NaN >= tau parity
+            for i in range(lo, hi):
+                isdup = bool(hit[i - lo, reps].any()) if reps else False
+                dup[i] = isdup
+                if not isdup and len(reps) < cap:
+                    reps.append(i)
+        return pd.DataFrame({"vec_id": pdf["vec_id"],
+                             "cid": pdf["cid"], "is_dup": dup})
+
+    if cents is None:
+        cents = kmeans_fit(emb, k, iters, dim)
+    assigned = (
+        _assign(_vecs(emb), cents)
+        .select("vec_id", F.col("cid").cast("int").alias("cid"), "v"))
+    return assigned.groupBy("cid").applyInPandas(
+        flag, "vec_id long, cid int, is_dup boolean")
+
+
+def semdedup_stream_oracle_sql(table: str = "embeddings", k: int = KM_K,
+                               iters: int = KM_ITERS,
+                               tau: float = SEM_TAU, dim: int = EMB_DIM,
+                               cap: int = SEM_STREAM_CAP) -> str:
+    """DuckDB twin: pairwise hit flags from the same cosine arithmetic,
+    then the sequential rep-set evolution as a RECURSIVE CTE over the
+    per-cluster rank (one state row per (cid, rank), reps as an INT[]
+    of ranks — pure integer/boolean recursion, no float state)."""
+    cte = _kmeans_cte(table, k, iters, dim).replace(
+        "WITH ", "WITH RECURSIVE ", 1)
+    dup_expr = "COALESCE(len(list_intersect(s.reps, h.js)) > 0, FALSE)"
+    return f"""
+{cte},
+ranked AS (
+  SELECT vec_id, v, CAST(cid AS INT) AS cid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id)
+              AS INT) AS rk
+  FROM aout),
+hits AS (
+  SELECT a.cid, a.rk AS ri, b.rk AS rj
+  FROM ranked a JOIN ranked b
+    ON a.cid = b.cid AND b.rk < a.rk
+  WHERE {_cos_sql('a.v', 'b.v')} >= {tau!r}),
+hitlists AS (SELECT cid, ri, list(rj) AS js FROM hits GROUP BY cid, ri),
+steps AS (
+  SELECT cid, 0 AS rk, CAST([] AS INT[]) AS reps,
+         CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BOOLEAN) AS is_dup
+  FROM (SELECT DISTINCT cid FROM ranked)
+  UNION ALL
+  SELECT r.cid, r.rk,
+         CASE WHEN NOT {dup_expr} AND len(s.reps) < {cap}
+              THEN list_append(s.reps, r.rk) ELSE s.reps END,
+         r.vec_id,
+         {dup_expr}
+  FROM steps s
+  JOIN ranked r ON r.cid = s.cid AND r.rk = s.rk + 1
+  LEFT JOIN hitlists h ON h.cid = r.cid AND h.ri = r.rk)
+SELECT vec_id, cid, is_dup FROM steps WHERE rk > 0
+"""

@@ -978,3 +978,64 @@ SELECT {id_col},
          AS INT) AS cleaned_len
 FROM rw
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch replay of the STREAMING near-dup selector (round-4 verdict item
+# 6): streaming/stream.py neardup_stream holds at most
+# NEARDUP_STREAM_REPS representative doc ids per LSH band bucket and
+# emits each arrival against the stored representatives only. Under
+# doc_id arrival order the representatives are exactly the bucket's
+# lowest-id members, so the whole selector is an ordinary rank + join —
+# oracle-checkable, pinning what the streaming operator computes.
+# ---------------------------------------------------------------------------
+NEARDUP_STREAM_REPS = 4
+
+
+def neardup_stream_replay(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          reps_per_bucket: int = NEARDUP_STREAM_REPS
+                          ) -> DataFrame:
+    """(band_idx, band_hash, id_a, id_b) — neardup_stream's capped
+    emission under doc_id arrival order: id_a is one of the bucket's
+    ``reps_per_bucket`` lowest doc ids, id_b a later bucket member.
+
+    Per-bucket ranks go through the hybrid ``group_row_number`` (hot
+    buckets — e.g. a flood of identical documents — take the bucketed
+    two-phase rank; a plain bucket window would put the flood in one
+    task, the window-skew rule). The rep join is co-partitioned on the
+    bucket key; emission is bounded at ``reps_per_bucket`` rows per
+    (doc, band)."""
+    from pii_redactor_spark.operators.ranking import group_row_number
+    bands = minhash_bands(docs, text_col, id_col).withColumn(
+        "_bk", F.concat_ws("|", F.col("band_idx"), F.col("band_hash")))
+    ranked = group_row_number(bands, "_bk", id_col, rn_name="_rk")
+    reps = ranked.filter(F.col("_rk") <= reps_per_bucket).select(
+        "_bk", F.col(id_col).alias("id_a"), F.col("_rk").alias("_ra"))
+    return (
+        ranked.join(reps, "_bk")
+        .where(F.col("_ra") < F.col("_rk"))
+        .select("band_idx", "band_hash", "id_a",
+                F.col(id_col).alias("id_b"))
+    )
+
+
+def neardup_stream_oracle_sql(table: str = "documents",
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              reps_per_bucket: int = NEARDUP_STREAM_REPS
+                              ) -> str:
+    return f"""
+WITH bands AS ({minhash_bands_oracle_sql(table, text_col, id_col)}),
+ranked AS (
+  SELECT {id_col}, band_idx, band_hash,
+         ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                            ORDER BY {id_col}) AS rk
+  FROM bands)
+SELECT d.band_idx, d.band_hash,
+       CAST(r.{id_col} AS BIGINT) AS id_a,
+       CAST(d.{id_col} AS BIGINT) AS id_b
+FROM ranked d JOIN ranked r
+  ON r.band_idx = d.band_idx AND r.band_hash = d.band_hash
+ AND r.rk < d.rk AND r.rk <= {reps_per_bucket}
+"""

@@ -250,3 +250,53 @@ def test_semdedup_stream_flags_cross_drop_duplicates(spark, tmp_path):
     assert flags[100010] and flags[100020] and flags[100030]
     # drop-1 originals were first-seen in their cluster: never flagged
     assert not flags[10] and not flags[20] and not flags[30]
+
+
+def test_neardup_stream_equals_batch_replay(spark, tmp_path):
+    """Round-4 verdict item 6: one id-ordered drop through the
+    STREAMING selector produces exactly the rows of the oracle-gated
+    batch replay (dedup.neardup_stream_replay == q_neardup_stream_twin
+    semantics) — the hash gate therefore pins the streaming operator."""
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.operators.dedup import neardup_stream_replay
+    from pii_redactor_spark.streaming.stream import neardup_stream
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id",
+                                                           "text")
+    src = str(tmp_path / "in")
+    docs.orderBy("doc_id").coalesce(1).write.parquet(src)
+    q = neardup_stream(spark, src, "doc_id long, text string",
+                       str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(
+        str(tmp_path / "out")).collect()}
+    want = {tuple(r) for r in neardup_stream_replay(docs).collect()}
+    release_caches()
+    assert got == want and want
+
+
+def test_semdedup_stream_equals_batch_replay(spark, tmp_path):
+    """Same pin for the semantic selector: an id-ordered drop through
+    semdedup_stream matches clustering.semdedup_stream_replay (the
+    q_semdedup_stream_twin surface) row for row."""
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.operators.clustering import (
+        kmeans_fit, semdedup_stream_replay)
+    from pii_redactor_spark.streaming.stream import semdedup_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb)
+    src = str(tmp_path / "in")
+    emb.orderBy("vec_id").coalesce(1).write.parquet(src)
+    q = semdedup_stream(spark, src,
+                        "vec_id long, embedding array<float>, label int",
+                        str(tmp_path / "out"), str(tmp_path / "ck"),
+                        cents)
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(
+        str(tmp_path / "out")).collect()}
+    want = {tuple(r) for r in
+            semdedup_stream_replay(emb, cents=cents).collect()}
+    release_caches()
+    assert got == want and want
