@@ -12,7 +12,10 @@ Subcommands:
   build   --input --output-root --run-id [--frac --benchmark --artifacts]
                         END-TO-END corpus build (plans/build.py):
                         urlfilter→decontaminate→dedup→quality→select→
-                        pack, one snapshot per stage, resumable
+                        pack, one snapshot per stage, resumable;
+                        --incremental treats --input as a growing
+                        IcebergishTable: per-row stages append-through
+                        on the snapshot diff, global stages recompute
   evaluate [--offset --limit --randomize --seed]
                         golden-fixture held-out evaluation
   scaling [--low --high]
@@ -216,7 +219,10 @@ def cmd_build(args) -> int:
         return 2
     spark = get_spark(app_name="build")
     ship_package(spark)
-    pages = spark.read.parquet(args.input)
+    # --incremental: --input is an IcebergishTable root (snapshot diffs
+    # drive the per-row stages), not a raw parquet path
+    pages = (None if getattr(args, "incremental", False)
+             else spark.read.parquet(args.input))
     thresholds = None
     artifacts = None
     from pii_redactor_spark.kernels.artifacts import (
@@ -233,10 +239,18 @@ def cmd_build(args) -> int:
             thresholds = None
     benchmark = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
-    out = build_job(spark, pages, args.output_root, run_id=args.run_id,
-                    n_buckets=args.n_buckets, frac=args.frac,
-                    benchmark=benchmark, thresholds=thresholds,
-                    artifacts=artifacts)
+    if getattr(args, "incremental", False):
+        from pii_redactor_spark.plans.build import build_increment
+        from pii_redactor_spark.tables import IcebergishTable
+        out = build_increment(
+            spark, IcebergishTable(args.input), args.output_root,
+            run_id=args.run_id, frac=args.frac, benchmark=benchmark,
+            thresholds=thresholds, artifacts=artifacts)
+    else:
+        out = build_job(spark, pages, args.output_root,
+                        run_id=args.run_id, n_buckets=args.n_buckets,
+                        frac=args.frac, benchmark=benchmark,
+                        thresholds=thresholds, artifacts=artifacts)
     out["artifacts_dir"] = art_dir
     print(json.dumps(out))
     return 0
@@ -332,6 +346,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--artifacts", default=None,
                    help="fitted kernel tables + thresholds for the "
                         "quality stage")
+    b.add_argument("--incremental", action="store_true",
+                   help="--input is an IcebergishTable root: per-row "
+                        "stages (urlfilter+decontaminate, scrub) "
+                        "process only the snapshot diff "
+                        "(append-through); dedup/select/pack recompute "
+                        "by semantics — recorded per stage in lineage")
     b.set_defaults(fn=cmd_build)
 
     f = sub.add_parser("fit")

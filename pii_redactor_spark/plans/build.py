@@ -308,3 +308,218 @@ def quality_increment(
     }])
     return {"run_id": run_id, "appended": n, "input_snapshot": cur,
             "up_to_date": False}
+
+
+# ---------------------------------------------------------------------------
+# Incremental build (round-4 verdict item 2): the chain over a GROWING
+# IcebergishTable input. Per-ROW stages (urlfilter + decontaminate,
+# then the quality scrub) are APPEND-THROUGH — each invocation
+# processes only the input's manifest diff (read_incremental), chained
+# table-to-table by snapshot markers in the output lineage, so a crawl
+# drop costs one pass over the drop. GLOBAL stages (dedup / select /
+# pack) RECOMPUTE over old+new by their semantics (a new drop can
+# duplicate an old doc, move the DSIR cut, and shifts every pack
+# offset) — the design decision is recorded in every lineage row and
+# metrics row as mode=append-through|recompute. The quality stage's
+# per-doc scrub outputs are doc-local, so they are computed ONCE per
+# doc (the scrub cache) and the recomputed dedup survivor set just
+# semi-joins them — the final tables equal a from-scratch build_job
+# over the same input + pinned benchmark (pinned at the first
+# increment; decontamination is only per-row against a FIXED benchmark,
+# which is also the real-world shape: eval suites don't grow with the
+# crawl).
+# ---------------------------------------------------------------------------
+
+def _inc_last(tbl: IcebergishTable, run_id: str, stage: str):
+    snap = tbl.snapshot()
+    if snap and snap.lineage and snap.lineage.get("run_id") == run_id \
+            and snap.lineage.get("stage") == stage:
+        return snap.lineage.get("input_snapshot")
+    return None
+
+
+def build_increment(
+    spark: SparkSession,
+    input_table: IcebergishTable,
+    output_root: str | Path,
+    run_id: str = "inc-build",
+    frac: float = 0.25,
+    benchmark: DataFrame | None = None,
+    thresholds=None,
+    artifacts=None,
+) -> dict:
+    """Run (or catch up) the incremental chain; idempotent — with no new
+    input snapshot the per-row stages append nothing and the global
+    stages recompute over unchanged inputs (same snapshots re-commit)."""
+    from pii_redactor_spark.functions.url_rules import with_url_rules
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.operators.decontaminate import contamination
+    from pii_redactor_spark.plans.pipeline import run_pipeline
+
+    root = Path(output_root)
+    metrics = MetricsTable(root / "metrics")
+    pre_tbl = IcebergishTable(root / "inc_00_prefilter")
+    scrub_tbl = IcebergishTable(root / "inc_01_scrub")
+    bench_tbl = IcebergishTable(root / "inc_benchmark")
+    stages: list[dict] = []
+
+    def log_row(stage: str, mode: str, n_in, n_out, t0: float) -> None:
+        metrics.log(spark, [{
+            "run_id": run_id, "stage": f"inc:{stage}:{mode}",
+            "bucket": None, "n_docs": n_in, "kept": n_out,
+            "dropped": (n_in - n_out)
+            if n_in is not None and n_out is not None else None,
+            "scrubbed": None, "elapsed_s": time.time() - t0,
+            "ts": time.time(),
+        }])
+        stages.append({"stage": stage, "mode": mode,
+                       "n_in": n_in, "n_out": n_out})
+
+    # -- per-row: prefilter (urlfilter + fixed-benchmark decontaminate) ------
+    t0 = time.time()
+    last_in = _inc_last(pre_tbl, run_id, "prefilter")
+    cur_in = input_table.current_snapshot_id()
+    diff = (input_table.read_incremental(spark, last_in)
+            if cur_in != last_in else None)
+    if diff is not None:
+        if "url" not in diff.columns:
+            diff = diff.withColumn(
+                "url", F.concat(F.lit("doc://"), F.col("doc_id")))
+        if bench_tbl.snapshot() is None:
+            b = benchmark if benchmark is not None else \
+                diff.filter(F.col("doc_id") % 37 == 0) \
+                    .select("doc_id", "text")
+            bench_tbl.overwrite(b, lineage={
+                "run_id": run_id, "stage": "benchmark",
+                "mode": "pinned-at-first-increment", "complete": True})
+        bench = bench_tbl.read(spark).select("doc_id", "text")
+        diff = diff.persist()
+        try:
+            n_in = diff.count()
+            kept = (with_url_rules(diff)
+                    .filter(F.col("url_keep"))
+                    .drop("host", "path", "url_reasons", "url_keep"))
+            kept = (contamination(kept, bench)
+                    .filter(~F.col("contaminated"))
+                    .drop("shared_ngrams", "contaminated"))
+            pre_tbl.append(kept, lineage={
+                "run_id": run_id, "stage": "prefilter",
+                "mode": "append-through", "input_snapshot": cur_in,
+                "complete": True})
+        finally:
+            diff.unpersist()
+        log_row("prefilter", "append-through", n_in,
+                pre_tbl.read(spark).count(), t0)
+    else:
+        stages.append({"stage": "prefilter", "mode": "append-through",
+                       "n_in": 0, "n_out": None})
+
+    # -- per-row: scrub cache (quality kernels, once per doc ever) -----------
+    t0 = time.time()
+    last_pre = _inc_last(scrub_tbl, run_id, "scrub")
+    cur_pre = pre_tbl.current_snapshot_id()
+    pdiff = (pre_tbl.read_incremental(spark, last_pre)
+             if cur_pre != last_pre else None)
+    if pdiff is not None:
+        pass_cols = [c for c in ("doc_id", "lang", "n_chars")
+                     if c in pdiff.columns]
+        out = run_pipeline(
+            pdiff, thresholds=thresholds, allowed_langs=("en",),
+            max_ppl=50.0, artifacts=artifacts,
+        ).select("url", *pass_cols,
+                 F.col("scrubbed_text").alias("text"),
+                 "lang_pred", "ppl", "n_redactions", "keep")
+        out = out.persist()
+        try:
+            n = out.count()
+            scrub_tbl.append(out, lineage={
+                "run_id": run_id, "stage": "scrub",
+                "mode": "append-through", "input_snapshot": cur_pre,
+                "complete": True})
+        finally:
+            out.unpersist()
+        log_row("scrub", "append-through", n, n, t0)
+    else:
+        stages.append({"stage": "scrub", "mode": "append-through",
+                       "n_in": 0, "n_out": None})
+
+    if pre_tbl.snapshot() is None:
+        return {"run_id": run_id, "incremental": True, "stages": stages,
+                "input_snapshot": cur_in, "up_to_date": True,
+                "total_tokens": 0}
+
+    # -- global recompute: dedup -> quality join -> select -> pack -----------
+    from pii_redactor_spark.plans.dedup_job import dedup_corpus
+    t0 = time.time()
+    pre_df = pre_tbl.read(spark)
+    n_pre = pre_df.count()
+    survivors = dedup_corpus(pre_df)
+    dtbl = stage_table(root, "dedup")
+    dtbl.overwrite(survivors, lineage={
+        "run_id": run_id, "stage": "dedup", "mode": "recompute",
+        "input_snapshot": cur_pre, "complete": True})
+    release_caches()
+    log_row("dedup", "recompute", n_pre, dtbl.read(spark).count(), t0)
+
+    t0 = time.time()
+    kept_ids = dtbl.read(spark).select("doc_id")
+    quality = scrub_tbl.read(spark).join(kept_ids, "doc_id", "left_semi")
+    qtbl = stage_table(root, "quality")
+    qtbl.overwrite(quality, lineage={
+        "run_id": run_id, "stage": "quality",
+        "mode": "recompute-join-of-cached-scrub", "complete": True})
+    log_row("quality", "recompute", None, qtbl.read(spark).count(), t0)
+
+    from pii_redactor_spark.operators.dsir import dsir_select
+    t0 = time.time()
+    current = qtbl.read(spark).filter(F.col("keep")).drop("keep")
+    n_in = current.count()
+    flags = dsir_select(current, frac=frac)
+    keep_ids = flags.filter(F.col("selected")).select("doc_id")
+    sel = current.join(keep_ids, "doc_id", "left_semi")
+    stbl = stage_table(root, "select")
+    stbl.overwrite(sel, lineage={
+        "run_id": run_id, "stage": "select", "mode": "recompute",
+        "complete": True})
+    release_caches()
+    log_row("select", "recompute", n_in, stbl.read(spark).count(), t0)
+
+    from pii_redactor_spark.contract import SEQ_TOKENS, _BPE_RE
+    from pii_redactor_spark.operators.cache import registered_persist
+    from pii_redactor_spark.operators.ranking import global_prefix_sum
+    t0 = time.time()
+    cur = stbl.read(spark)
+    n_in = cur.count()
+    toks = registered_persist(cur.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(_BPE_RE), 0)).alias("n_tokens")))
+    pre = global_prefix_sum(toks, "doc_id", "n_tokens",
+                            sum_name="start_off")
+    b = SEQ_TOKENS
+    packed = pre.select(
+        "doc_id", "n_tokens", "start_off",
+        F.expr(f"start_off div {b}").alias("seq_idx"),
+        F.when(F.col("n_tokens") > 0,
+               F.expr(f"(start_off + n_tokens - 1) div {b}")
+               - F.expr(f"start_off div {b}") + F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
+    )
+    ptbl = stage_table(root, "pack")
+    ptbl.overwrite(packed, lineage={
+        "run_id": run_id, "stage": "pack", "mode": "recompute",
+        "complete": True})
+    release_caches()
+    log_row("pack", "recompute", n_in, ptbl.read(spark).count(), t0)
+
+    pack_df = ptbl.read(spark)
+    tok_row = pack_df.agg(
+        F.sum("n_tokens").alias("t"),
+        F.max(F.col("start_off") + F.col("n_tokens")).alias("e")).first()
+    end = int(tok_row["e"] or 0)
+    return {"run_id": run_id, "incremental": True, "stages": stages,
+            "input_snapshot": cur_in,
+            "total_tokens": int(tok_row["t"] or 0),
+            "seq_tokens": SEQ_TOKENS,
+            "n_sequences": -(-end // SEQ_TOKENS),
+            "metrics_rows": metrics.read(spark).count()}
