@@ -1999,3 +1999,16 @@ def q_neardup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=_km2.semdedup_stream_oracle_sql())
 def q_semdedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km2.semdedup_stream_replay(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Fitted-codebook PQ search (similarity.ann_pq_fitted — the round-4
+# stretch item): per-subspace Lloyd k-means codebooks (the actual
+# Jégou fit) replacing the closed-form orthant cells, bit-reproduced by
+# the oracle's unrolled (m, cid)-keyed iteration CTEs. Recall vs the
+# exact baseline is asserted >= the orthant codebook's in
+# test_dedup_similarity.
+# ---------------------------------------------------------------------------
+@register("q_ann_pq_fitted", oracle=_sim.ann_pq_fitted_oracle_sql())
+def q_ann_pq_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_pq_fitted(_t(spark, sf_dir, "embeddings"))

@@ -472,7 +472,8 @@ def pq_encode(corpus: DataFrame, cells: list[Column],
 
 
 def ann_pq(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
-           m: int = PQ_M, refine: int = PQ_REFINE) -> DataFrame:
+           m: int = PQ_M, refine: int = PQ_REFINE,
+           cell_rows: list | None = None) -> DataFrame:
     """PQ/ADC search (Jégou et al. 2011): scan compressed codes, not
     vectors.
 
@@ -497,7 +498,9 @@ def ann_pq(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
     """
     d = EMB_DIM // m
     queries, corpus = _split_queries(emb, n_queries)
-    cell_rows = pq_fit_cells(emb, EMB_DIM, m)
+    if cell_rows is None:  # default: the orthant-mean codebook;
+        # ann_pq_fitted passes the per-subspace k-means fit instead
+        cell_rows = pq_fit_cells(emb, EMB_DIM, m)
     cells = _pq_cell_literals(cell_rows, m, d)
 
     enc_udf = make_pq_encode_udf(_pq_cells_np(cell_rows, m, d), d)
@@ -1032,6 +1035,211 @@ cand AS (
   FROM c JOIN q USING (band_idx, band_bits)),
 scored AS (
   SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# FITTED PQ codebooks (round-4 verdict stretch item): per-subspace
+# Lloyd k-means — the actual Jégou et al. 2011 codebook fit, made
+# cross-engine-reproducible with the clustering.py recipe (DECIMAL
+# per-coordinate means, argmin ties to the lowest cid, empty clusters
+# keep their previous centroid). Seeds are the ORTHANT cells
+# themselves (pattern-sorted, cid = position), so the fit is a strict
+# Lloyd refinement of the orthant baseline: per-subspace quantization
+# distortion is non-increasing from iteration 0, which is what makes
+# the measured recall >= the orthant codebook's (asserted in tests).
+# All m subspaces fit JOINTLY over the exploded (vec_id, m, sub) frame
+# — one assignment projection and one (m, cid, pos)-keyed decimal-mean
+# shuffle per iteration regardless of m, with a driver roundtrip
+# between iterations (zero lineage growth); the oracle unrolls the
+# iterations as chained CTEs keyed by (m, cid).
+# ---------------------------------------------------------------------------
+PQ_KM_ITERS = 3   # Lloyd iterations per subspace fit (unrolled in SQL)
+
+
+def _pq_subs(emb: DataFrame, dim: int, m: int) -> DataFrame:
+    """(vec_id, m, sub): the exploded subvector frame both the fit and
+    the oracle operate on."""
+    d = dim // m
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("m"),
+                 F.slice(F.col("v"), s * d + 1, d).alias("sub"))
+        for s in range(m)
+    ])
+    return (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", F.explode_outer(subs).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select("vec_id", F.col("e.m").alias("m"),
+                F.col("e.sub").alias("sub"))
+    )
+
+
+def pq_fit_cells_kmeans(emb: DataFrame, dim: int = EMB_DIM,
+                        m: int = PQ_M,
+                        iters: int = PQ_KM_ITERS) -> list[dict]:
+    """Rows (m, pattern, c0..c{d-1}) — same shape as ``pq_fit_cells``
+    (pattern := cid = position of the seeding orthant cell in pattern
+    order), so the literal/numpy builders and the encoder are shared
+    verbatim between the orthant and fitted codebooks."""
+    from pii_redactor_spark.operators.cache import (
+        registered_persist, release_caches)
+    d = dim // m
+    subs = registered_persist(_pq_subs(emb, dim, m))
+    cents: dict[tuple[int, int], list[float]] = {}
+    # seeds: the orthant codebook, pattern-sorted per subspace
+    seed_rows = pq_fit_cells(emb, dim, m)
+    by_m: dict[int, list] = {}
+    for r in seed_rows:
+        by_m.setdefault(int(r["m"]), []).append(r)
+    kc_by_m: dict[int, int] = {}
+    for s, rows in by_m.items():
+        rows.sort(key=lambda r: r["pattern"])
+        kc_by_m[s] = len(rows)
+        for cid, r in enumerate(rows):
+            cents[(s, cid)] = [float(r[f"c{j}"]) for j in range(d)]
+
+    def lit_all() -> Column:
+        per_m = []
+        for s in range(m):
+            items = ", ".join(
+                "named_struct('cid', {c}, 'cv', array({v}))".format(
+                    c=cid, v=", ".join(f"{x!r}D" for x in cents[(s, cid)]))
+                for cid in range(kc_by_m[s]))
+            per_m.append(f"array({items})")
+        return F.expr("array({})".format(", ".join(per_m)))
+
+    for _ in range(iters):
+        assigned = (
+            subs
+            .withColumn("_cands", F.transform(
+                F.element_at(lit_all(), F.col("m") + 1),
+                lambda c: F.struct(_d2(F.col("sub"), c["cv"]).alias("d2"),
+                                   c["cid"].alias("cid"))))
+            .withColumn("_best", F.array_min("_cands"))
+            .select("m", F.col("_best.cid").alias("cid"), "sub")
+        )
+        rows = (
+            assigned
+            .select("m", "cid", F.posexplode_outer("sub").alias("pos", "x"))
+            .where(F.col("x").isNotNull())
+            .groupBy("m", "cid", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(28,12)")) / F.count("*"))
+                 .cast("double").alias("c"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault((int(r["m"]), int(r["cid"])),
+                           {})[int(r["pos"])] = r["c"]
+        for key, byp in upd.items():
+            if len(byp) == d:  # empty clusters keep the previous centroid
+                cents[key] = [byp[i] for i in range(d)]
+    release_caches()
+    return [{"m": s, "pattern": cid,
+             **{f"c{j}": cents[(s, cid)][j] for j in range(d)}}
+            for s in range(m) for cid in range(kc_by_m[s])]
+
+
+def ann_pq_fitted(emb: DataFrame, k: int = TOP_K,
+                  n_queries: int = N_QUERIES, m: int = PQ_M,
+                  refine: int = PQ_REFINE,
+                  iters: int = PQ_KM_ITERS) -> DataFrame:
+    """``ann_pq`` served from the per-subspace k-means codebook."""
+    return ann_pq(emb, k, n_queries, m, refine,
+                  cell_rows=pq_fit_cells_kmeans(emb, EMB_DIM, m, iters))
+
+
+def ann_pq_fitted_oracle_sql(table: str = "embeddings", k: int = TOP_K,
+                             n_queries: int = N_QUERIES, m: int = PQ_M,
+                             refine: int = PQ_REFINE,
+                             iters: int = PQ_KM_ITERS,
+                             dim: int = EMB_DIM) -> str:
+    """DuckDB twin of ``ann_pq_fitted``: the joint per-subspace Lloyd
+    unrolled as chained (m, cid)-keyed CTEs (seed = the orthant cells
+    in pattern order, DECIMAL means, argmin ties to the lowest cid,
+    empty clusters COALESCE to the previous codeword), then the
+    identical encode / ADC / refine / rerank tail as
+    ``ann_pq_oracle_sql``."""
+    d = dim // m
+    cell_cols = ", ".join(
+        f"CAST(SUM(CAST(sub[{j + 1}] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE)"
+        for j in range(d))
+    d2_sql = ("list_sum(list_transform(list_zip({a}, {b}), "
+              "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    pattern_sql = (
+        f"list_sum(list_transform(range({d}), "
+        "j -> CASE WHEN sub[CAST(j + 1 AS INT)] > 0 "
+        "THEN (1 << j) ELSE 0 END))")
+    parts = [
+        (f"vecs AS (SELECT vec_id, list_transform(embedding, "
+         f"x -> CAST(x AS DOUBLE)) AS v FROM {table})"),
+        (f"sp AS (SELECT unnest(range({m})) AS m)"),
+        (f"subs AS (SELECT vec_id, sp.m, "
+         f"list_slice(v, sp.m*{d} + 1, sp.m*{d} + {d}) AS sub "
+         f"FROM vecs CROSS JOIN sp)"),
+        (f"pats AS (SELECT vec_id, m, sub, {pattern_sql} AS pattern "
+         f"FROM subs)"),
+        (f"cells0 AS (SELECT m, pattern, [{cell_cols}] AS cw "
+         f"FROM pats GROUP BY m, pattern)"),
+        ("k0 AS (SELECT m, CAST(ROW_NUMBER() OVER (PARTITION BY m "
+         "ORDER BY pattern) - 1 AS INT) AS cid, cw FROM cells0)"),
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, m, sub, cid FROM (
+    SELECT s.vec_id, s.m, s.sub, k{t - 1}.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {d2_sql.format(a='s.sub', b=f'k{t - 1}.cw')} ASC,
+                      k{t - 1}.cid ASC) AS rn
+    FROM subs s JOIN k{t - 1} ON s.m = k{t - 1}.m) WHERE rn = 1)""")
+        parts.append(f"""k{t} AS (
+  SELECT p.m, p.cid, COALESCE(u.cw, p.cw) AS cw
+  FROM k{t - 1} p LEFT JOIN (
+    SELECT m, cid, [{cell_cols}] AS cw FROM a{t} GROUP BY m, cid) u
+  USING (m, cid))""")
+    parts.append(f"cells AS (SELECT m, cid AS pattern, cw FROM k{iters})")
+    return f"""
+WITH {','.join(parts)},
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, v FROM vecs WHERE vec_id >= {n_queries}),
+codes AS (
+  SELECT vec_id, m, pattern AS code_pattern FROM (
+    SELECT p.vec_id, p.m, cells.pattern,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.m
+             ORDER BY {d2_sql.format(a='p.sub', b='cells.cw')} ASC,
+                      cells.pattern ASC) AS rn
+    FROM subs p JOIN cells USING (m)
+    WHERE p.vec_id >= {n_queries})
+  WHERE rn = 1),
+qd2 AS (
+  SELECT p.vec_id AS query_id, p.m, cells.pattern,
+         {d2_sql.format(a='p.sub', b='cells.cw')} AS d2
+  FROM subs p JOIN cells USING (m)
+  WHERE p.vec_id < {n_queries}),
+adc AS (
+  SELECT qd2.query_id, codes.vec_id,
+         list_sum(list(qd2.d2 ORDER BY codes.m)) AS approx_d2
+  FROM codes JOIN qd2 ON qd2.m = codes.m
+                     AND qd2.pattern = codes.code_pattern
+  GROUP BY qd2.query_id, codes.vec_id),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY approx_d2 ASC, vec_id ASC) AS arn
+    FROM adc)
+  WHERE arn <= {refine * k}),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM cand JOIN q USING (query_id) JOIN c USING (vec_id)),
 ranked AS (
   SELECT query_id, vec_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY query_id

@@ -637,3 +637,22 @@ def test_span_rewrite_paragraphs_fires_on_synth_corpus(spark):
     removed = out.agg(F.sum("n_removed")).first()[0]
     release_caches()
     assert removed and removed > 0
+
+
+def test_pq_fitted_codebook_recall_at_least_orthant(spark):
+    """Round-4 verdict stretch item: the per-subspace Lloyd codebook
+    (seeded FROM the orthant cells, so it strictly refines them) must
+    recall at least as much of the exact top-k as the orthant baseline.
+    Measured at sf0.001: orthant 0.86 -> fitted 0.88; at sf0.1: 0.48 ->
+    0.64 (the bigger corpus is where refinement pays)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.ann_bruteforce(emb).collect()}
+    orth = {(r["query_id"], r["vec_id"])
+            for r in similarity.ann_pq(emb).collect()}
+    fit = {(r["query_id"], r["vec_id"])
+           for r in similarity.ann_pq_fitted(emb).collect()}
+    release_caches()
+    assert len(fit & exact) >= len(orth & exact)
+    assert len(fit & exact) / len(exact) >= 0.8
