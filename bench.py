@@ -47,6 +47,7 @@ HEADLINE = [
     "q_quality_clf",
     "q_quality_nb_counts",
     "q_quality_tiers",
+    "q_quality_c4",
     "q_datacard",
     "q_domain_mix",
     "q_dedup_exact",
@@ -55,14 +56,18 @@ HEADLINE = [
     "q_dedup_jaccard",
     "q_span_dedup",
     "q_span_rewrite",
+    "q_span_para",
+    "q_neardup_stream_twin",
     "q_fingerprint",
     "q_simhash",
     "q_ann_bruteforce",
     "q_ann_ivf",
     "q_ann_lsh",
     "q_ann_pq",
+    "q_ann_pq_fitted",
     "q_kmeans",
     "q_semdedup",
+    "q_semdedup_stream_twin",
     "q_proto_prune",
     "q_host_rank",
     "q_text_embed",
