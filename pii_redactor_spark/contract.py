@@ -2012,3 +2012,23 @@ def q_semdedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_ann_pq_fitted", oracle=_sim.ann_pq_fitted_oracle_sql())
 def q_ann_pq_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_pq_fitted(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions past the VERDICT list: the two remaining structural
+# watch-items from the round-4 perf audit.
+# ---------------------------------------------------------------------------
+@register("q_dedup_components_star", oracle=_dd.dedup_components_oracle_sql())
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alternating large-star/small-star CC (Kiveris et al. 2014) — the
+    # round-halving engine for high-diameter dup graphs; same labels,
+    # same recursive-CTE oracle as q_dedup_components
+    return _dd.dedup_components(_t(spark, sf_dir, "documents"),
+                                engine="star")
+
+
+@register("q_soft_dedup", oracle=_dd.soft_dedup_oracle_sql())
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SoftDeDup-style duplicate reweighting (keep every copy at weight
+    # 1/multiplicity) — selection-by-weight alternative to exact_dedup
+    return _dd.soft_dedup_weights(_t(spark, sf_dir, "documents"))

@@ -345,10 +345,13 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 def components_from_edges(nodes: DataFrame, edges: DataFrame,
                           max_iter: int = 30,
-                          checkpoint_every: int = 3) -> DataFrame:
+                          checkpoint_every: int = 3,
+                          stats: dict | None = None) -> DataFrame:
     """Connected components over an explicit edge list: ``nodes`` has a
     ``node`` column, ``edges`` has ``(id_a, id_b)``; returns
     ``(node, component)`` with component = min node id of the cluster.
+    ``stats`` (optional dict) receives ``{"rounds": <executed rounds>}``
+    for round-count comparisons against :func:`components_star`.
 
     Round structure (round-3 rewrite of the plain min-label loop):
 
@@ -450,6 +453,8 @@ def components_from_edges(nodes: DataFrame, edges: DataFrame,
                 prev_handle.unpersist()
             prev_handle = round_df
             labels = round_df.select("node", "component")
+            if stats is not None:
+                stats["rounds"] = it + 1
             if changed == 0:
                 break
     finally:
@@ -461,10 +466,143 @@ def components_from_edges(nodes: DataFrame, edges: DataFrame,
     return final
 
 
+def components_star(nodes: DataFrame, edges: DataFrame,
+                    max_iter: int = 30,
+                    checkpoint_every: int = 2,
+                    stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", Algorithm 3 "two-phase") — the round-halving alternative
+    to the min-label + path-halving loop in
+    :func:`components_from_edges` (round-4 verdict watch-item (a):
+    "large-star/small-star would roughly halve round count on real
+    graphs").
+
+    State is the EDGE SET, not a label table. Each round rewrites it:
+
+    - **large-star**: every node's strictly-larger neighbours hook onto
+      the minimum of its closed neighbourhood (one grouped min + one
+      co-keyed join + distinct);
+    - **small-star**: orient edges (hi, lo); every hi node AND its
+      smaller neighbours hook onto the smallest of them (same shape).
+
+    Both steps preserve the graph's connected components (proved in the
+    paper); the fixed point is a star forest whose roots are the
+    component minima — after small-star every edge points larger ->
+    smaller, so a star's root sits below all its leaves, and one
+    component cannot split into two stars without breaking
+    connectivity preservation.
+
+    Convergence = the star-forest test: a star forest has **no 2-edge
+    chain** (no edge's target is another edge's source — targets are
+    roots and roots have no out-edges). The chain count is an aggregate
+    over a self-join of the round's OWN frame, so materializing the
+    round's persist/checkpoint and testing convergence is ONE
+    full-corpus action per round — the same action budget as
+    components_from_edges (pinned in test_dedup_similarity).
+
+    Per-round cost is higher than the label loop's (2 grouped shuffles
+    + 2 joins + 2 distincts + the convergence self-join, vs 2 joins +
+    1 groupBy). Measured round counts on chain graphs (the worst-case
+    diameter): star 6 vs label 7 at diameter 64, 8 vs 9 at 256, 10 vs
+    11 at 1024 (test_components_star_fewer_rounds pins the 64 case) —
+    both engines are O(log d) because the label loop already
+    path-halves, so star buys one round, not half. Its structural
+    advantages at 100 TB are different: state is the shrinking EDGE
+    SET (each round's distinct contracts it toward one edge per
+    non-root node) rather than a constant-width full-corpus label
+    table, and the paper's proof gives a worst-case round bound that
+    does not depend on the label distribution. Both engines are
+    exposed and hash-identical against the same recursive-CTE oracle.
+
+    Returns ``(node, component)``; singletons keep their own id. The
+    returned frame is a final eager localCheckpoint so downstream plans
+    (and PLANS.md) see a bounded ExistingRDD scan, exactly like
+    components_from_edges.
+    """
+    from pii_redactor_spark.operators.cache import (
+        register_local_checkpoint)
+
+    e0 = (
+        edges.filter(F.col("id_a") != F.col("id_b"))
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+        .persist()
+    )
+    e = e0
+    prev_handle: DataFrame | None = None
+    try:
+        for it in range(max_iter):
+            # large-star: v in N(u), v > u  hooks onto m = min(N(u) ∪ {u})
+            nbrs = e.union(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+            lmin = (
+                nbrs.groupBy("a").agg(F.min("b").alias("_nm"))
+                .select("a", F.least(F.col("a"), F.col("_nm")).alias("_m"))
+            )
+            large = (
+                nbrs.join(lmin, "a")
+                .where(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            # small-star: orient (hi, lo); hi + its small neighbours
+            # hook onto min(N_lo(hi))
+            dir2 = large.select(F.greatest("a", "b").alias("u"),
+                                F.least("a", "b").alias("v"))
+            smin = dir2.groupBy("u").agg(F.min("v").alias("_m"))
+            hooked = (
+                dir2.join(smin, "u")
+                .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+                .union(smin.select(F.col("u").alias("a"),
+                                   F.col("_m").alias("b")))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            if (it + 1) % checkpoint_every == 0:
+                # lazy: the convergence count below is the action that
+                # materializes AND checkpoints the round (one job);
+                # storage freed via the cache registry handle.
+                hooked = register_local_checkpoint(
+                    hooked.localCheckpoint(eager=False))
+            else:
+                hooked = hooked.persist()
+            # the round's ONLY action: fills the persist/checkpoint and
+            # counts 2-edge chains (0 <=> star forest <=> fixed point)
+            x = hooked.select(F.col("b").alias("_t"))
+            y = hooked.select(F.col("a").alias("_s"))
+            chains = x.join(y, x._t == y._s).count()
+            if prev_handle is not None and prev_handle.is_cached:
+                prev_handle.unpersist()
+            prev_handle = hooked
+            e = hooked
+            if stats is not None:
+                stats["rounds"] = it + 1
+            if chains == 0:
+                break
+        # star forest -> labels: leaf -> its root; roots and singleton
+        # nodes (no out-edge) keep their own id
+        comp = e.groupBy("a").agg(F.min("b").alias("_c"))
+        labels = (
+            nodes.join(comp, nodes.node == comp.a, "left")
+            .select("node",
+                    F.coalesce(F.col("_c"), F.col("node"))
+                    .alias("component"))
+        )
+        final = register_local_checkpoint(labels.localCheckpoint(eager=True))
+    finally:
+        e0.unpersist()
+    if prev_handle is not None and prev_handle.is_cached:
+        prev_handle.unpersist()  # final checkpoint is self-contained
+    return final
+
+
 def dedup_components(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_iter: int = 30,
-                     verify_threshold: float | None = None) -> DataFrame:
+                     verify_threshold: float | None = None,
+                     engine: str = "label") -> DataFrame:
     """Connected components over the LSH near-dup graph: every document
     mapped to the min doc id of its duplicate cluster (the canonical
     representative for dedup-keep-one).
@@ -476,9 +614,14 @@ def dedup_components(docs: DataFrame, text_col: str = "text",
     rewrite (round-2 advice). The corpus rewrite job always verifies;
     the raw variant remains for candidate-graph analysis.
 
-    The propagation loop (min-label + path-halving, lineage-truncated)
-    lives in ``components_from_edges``; near-dup clusters have tiny
-    diameters so 2-3 rounds is typical.
+    ``engine`` — ``"label"`` (default): min-label + path-halving,
+    lineage-truncated (``components_from_edges``; slimmer rounds, good
+    for the tiny-diameter near-dup graphs where 2-3 rounds is typical);
+    ``"star"``: alternating large-star/small-star
+    (``components_star``; fewer rounds on high-diameter graphs — at
+    100 TB, where each round is a full-corpus barrier, round count
+    dominates). Both return identical labels (equality-tested and
+    oracle-gated against the same recursive-CTE truth).
     """
     if verify_threshold is not None:
         edges = (
@@ -488,7 +631,10 @@ def dedup_components(docs: DataFrame, text_col: str = "text",
     else:
         edges = lsh_candidate_pairs(docs, text_col, id_col)
     nodes = docs.select(F.col(id_col).alias("node"))
-    labels = components_from_edges(nodes, edges, max_iter=max_iter)
+    if engine == "star":
+        labels = components_star(nodes, edges, max_iter=max_iter)
+    else:
+        labels = components_from_edges(nodes, edges, max_iter=max_iter)
     return labels.select(F.col("node").alias(id_col), "component")
 
 
@@ -1038,4 +1184,64 @@ SELECT d.band_idx, d.band_hash,
 FROM ranked d JOIN ranked r
   ON r.band_idx = d.band_idx AND r.band_hash = d.band_hash
  AND r.rk < d.rk AND r.rk <= {reps_per_bucket}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: reweight duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+def soft_dedup_weights(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document sampling weight from exact-duplicate multiplicity —
+    the SoftDeDup idea (Xia et al. 2024, "Rethinking Data Deduplication:
+    Soft Deduplication"): instead of DROPPING duplicates, keep every
+    copy and down-weight it so the effective token distribution matches
+    the hard-deduplicated corpus while the sampler still sees the full
+    data order. Weight = 1/multiplicity, emitted as the exact integer
+    ``weight_ppm = 1000000 div n_copies`` (never a rounded double RATE —
+    the oracle-hygiene rule). The reference drops nothing (pre-cleaned
+    corpus, reference: optimizer.py:38-53); this is the
+    training-pipeline mandate's selection-by-weight variant of
+    ``exact_dedup``.
+
+    Shape: one content-hash groupBy (partial aggregation combines
+    map-side, so a viral page's million copies arrive pre-counted) +
+    one co-partitioned join back on the same md5 key (Catalyst reuses
+    the exchange; AQE skew-join splits a hot hash). Deliberately NOT a
+    ``count() over (partition by md5)`` window: a window would put
+    every copy of the hottest page in ONE task (the window-skew rule —
+    AQE cannot split window partitions), while the join spreads them.
+    """
+    # NULL-text docs must form ONE multiplicity group (the oracle's
+    # window PARTITION BY groups NULLs together) — but a Spark equi-join
+    # drops NULL keys, so fold NULL into a sentinel no md5 hex can
+    # collide with before grouping/joining.
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_")).alias("_h")
+    counts = (docs.select(h).groupBy("_h")
+              .agg(F.count(F.lit(1)).alias("n_copies")))
+    return (
+        docs.select(F.col(id_col), h)
+        .join(counts, "_h")
+        .select(
+            F.col(id_col),
+            "n_copies",
+            F.expr("cast(1000000 as bigint) div n_copies")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+def soft_dedup_oracle_sql(table: str = "documents",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    # the oracle may use the window form DuckDB-side: single-node, no
+    # skew concern — values are identical to the groupBy+join by
+    # definition of COUNT(*) OVER (PARTITION BY hash)
+    return f"""
+SELECT {id_col}, n_copies,
+       CAST(1000000 AS BIGINT) // n_copies AS weight_ppm
+FROM (SELECT {id_col},
+             COUNT(*) OVER (PARTITION BY md5({text_col})) AS n_copies
+      FROM {table})
 """

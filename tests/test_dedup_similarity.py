@@ -656,3 +656,97 @@ def test_pq_fitted_codebook_recall_at_least_orthant(spark):
     release_caches()
     assert len(fit & exact) >= len(orth & exact)
     assert len(fit & exact) / len(exact) >= 0.8
+
+
+def test_components_star_matches_label_engine(spark):
+    """Round-4 verdict watch-item (a): the large-star/small-star engine
+    must produce exactly the label engine's (node, component) set on a
+    graph with merged chains, a cycle, and singletons."""
+    from pii_redactor_spark.operators.cache import release_caches
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "node long")
+    edges = spark.createDataFrame(
+        # chain 0-1-2-3, triangle 5-6-7 (cycle), pair 9-10, dup edge,
+        # self-loop (must be ignored); 4, 8, 11 are singletons
+        [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 10),
+         (10, 9), (4, 4)],
+        "id_a long, id_b long")
+    lab = {(r["node"], r["component"])
+           for r in dedup.components_from_edges(nodes, edges).collect()}
+    release_caches()
+    star = {(r["node"], r["component"])
+            for r in dedup.components_star(nodes, edges).collect()}
+    release_caches()
+    assert star == lab
+    comp = dict(star)
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[5] == comp[6] == comp[7] == 5
+    assert comp[9] == comp[10] == 9
+    assert comp[4] == 4 and comp[8] == 8 and comp[11] == 11
+
+
+def test_components_star_fewer_rounds(spark):
+    """Measured claim in the components_star docstring: on a 64-node
+    chain (worst-case diameter) the star engine converges in 6 rounds
+    vs the label engine's 7 — both O(log d) since the label loop
+    path-halves; star never takes MORE rounds."""
+    from pii_redactor_spark.operators.cache import release_caches
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    sl, ss = {}, {}
+    lab = dedup.components_from_edges(nodes, edges, max_iter=30, stats=sl)
+    assert all(r["component"] == 0 for r in lab.collect())
+    release_caches()
+    star = dedup.components_star(nodes, edges, max_iter=30, stats=ss)
+    assert all(r["component"] == 0 for r in star.collect())
+    release_caches()
+    assert ss["rounds"] <= sl["rounds"], (ss, sl)
+    assert ss["rounds"] <= 8  # O(log 64) with the paper's constant
+
+
+def test_components_star_one_execution_per_round(spark):
+    """Same action-budget pin as test_components_one_job_per_round: a
+    star round's convergence self-join count is the ONE materializing
+    SQL execution (it fills the round's persist); an already-star graph
+    converges in 1 round -> 1 round execution + 1 final eager
+    checkpoint = 2."""
+    from pii_redactor_spark.operators.cache import release_caches
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)],
+                                  "id_a long, id_b long")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def executions():
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        return store.executionsCount()
+
+    before = executions()
+    try:
+        st = {}
+        labels = dedup.components_star(nodes, edges, max_iter=10,
+                                       checkpoint_every=5, stats=st)
+        assert executions() - before == 2, executions() - before
+        assert st["rounds"] == 1
+        comp = {r["node"]: r["component"] for r in labels.collect()}
+        assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+    finally:
+        release_caches()
+
+
+def test_soft_dedup_weights(spark):
+    """SoftDeDup reweighting: weight_ppm = 1000000 div multiplicity;
+    NULL texts form ONE group (join sentinel — a plain equi-join would
+    drop NULL keys while the oracle's window groups them)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    rows = [(0, "same page"), (1, "same page"), (2, "same page"),
+            (3, "unique page"), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_copies"], r["weight_ppm"])
+           for r in dedup.soft_dedup_weights(df).collect()}
+    release_caches()
+    assert out[0] == out[1] == out[2] == (3, 333333)
+    assert out[3] == (1, 1000000)
+    assert out[4] == out[5] == (2, 500000)
+    # effective mass of a duplicate group ~ 1 doc (ppm rounding down)
+    assert sum(out[i][1] for i in (0, 1, 2)) <= 1000000
