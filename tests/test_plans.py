@@ -289,3 +289,31 @@ def test_vocab_rank_window_input_is_take_ordered(spark):
     between = "\n".join(lines[widx[0] + 1:tidx[0]])
     assert "Exchange" not in between
     assert "Scan parquet" not in between
+
+
+def test_soft_dedup_no_window_partial_agg(spark, docs):
+    """soft_dedup counts multiplicity via groupBy+join, NEVER a window
+    over the content hash: a hot page's million copies would land in
+    ONE window task (AQE cannot split window partitions — CLAUDE.md).
+    The groupBy must partial-aggregate (map-side combine)."""
+    from pii_redactor_spark.operators.dedup import soft_dedup_weights
+    plan = _plan(soft_dedup_weights(docs))
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_components_star_returned_plan_is_bounded_scan(spark):
+    """Same runtime-truth guard as the label engine: the star engine's
+    returned frame is a final eager localCheckpoint — a bounded
+    ExistingRDD scan, not the loop's worst-case lineage."""
+    from pii_redactor_spark.operators import dedup
+    from pii_redactor_spark.operators.cache import release_caches
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "id_a long, id_b long")
+    out = dedup.components_star(nodes, edges)
+    plan = _plan(out)
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan or plan.count("Exchange") <= 1, plan
+    assert len(out.collect()) == 6
+    release_caches()
