@@ -76,6 +76,7 @@ HEADLINE = [
     "q_ann_mlp",
     "q_decontaminate",
     "q_dsir",
+    "q_bm25",
     "q_dsir_gumbel",
     "q_split_hash",
     "q_pack",

@@ -2032,3 +2032,15 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SoftDeDup-style duplicate reweighting (keep every copy at weight
     # 1/multiplicity) — selection-by-weight alternative to exact_dedup
     return _dd.soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
+from pii_redactor_spark.operators import bm25 as _bm25  # noqa: E402
+
+
+@register("q_bm25", oracle=_bm25.bm25_oracle_sql())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retrieval-based seed-set relevance selection (Robertson-Zaragoza
+    # BM25, integer-exact formulation) — the retrieval twin of q_dsir's
+    # distribution-match selection; generalizes the reference's
+    # hand-picked few-shot ids (reference: examples.py:5-31)
+    return _bm25.bm25_topk(_t(spark, sf_dir, "documents"))

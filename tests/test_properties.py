@@ -161,3 +161,51 @@ def test_resolver_matches_bruteforce_across_tiers(data):
     # structural invariants: sorted, non-overlapping
     for a, b in zip(got, got[1:]):
         assert a.end <= b.start
+
+
+# ---------------------------------------------------------------------------
+# Connected-components engines vs a union-find ground truth
+# ---------------------------------------------------------------------------
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id of the set
+    comp: dict[int, int] = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp[v] = min(comp.get(r, r), r)
+    return {v: comp[find(v)] for v in range(n_nodes)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_cc_engines_match_union_find(spark, data):
+    """Both distributed CC engines (min-label + path-halving, and
+    large-star/small-star) must equal a driver-side union-find on
+    arbitrary small graphs — self-loops, parallel/reversed edges,
+    singletons and all."""
+    from pii_redactor_spark.operators import dedup
+    from pii_redactor_spark.operators.cache import release_caches
+    n = data.draw(st.integers(min_value=1, max_value=14))
+    edges = data.draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+        min_size=0, max_size=25))
+    want = _uf_components(n, edges)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long")
+    for fn in (dedup.components_from_edges, dedup.components_star):
+        got = {r["node"]: r["component"] for r in fn(nodes, edf).collect()}
+        release_caches()
+        assert got == want, (fn.__name__, n, edges)
