@@ -7,7 +7,7 @@ Subcommands:
   redact  <text>        one-document smoke path (reference: main.py:38,87-92)
   run     --input --output --metrics --run-id [--n-buckets]
                         resumable corpus pipeline (restart = resume)
-  select  --input --output --method {dsir,semdedup,proto,urldedup}
+  select  --input --output --method {dsir,semdedup,proto,urldedup,bm25}
                         data-selection job: score + cut, snapshot commit
   build   --input --output-root --run-id [--frac --benchmark --artifacts]
                         END-TO-END corpus build (plans/build.py):
@@ -124,14 +124,16 @@ def cmd_select(args) -> int:
                 (Sorscher-style prototype pruning; embedding column)
       urldedup  keep one row per canonical url
                 (functions/url_rules.py canonicalization)
+      bm25      top-``--frac`` by seed-query BM25 relevance
+                (operators/bm25.py; needs a text column)
     """
     from pii_redactor_spark.operators.cache import release_caches
     from pii_redactor_spark.tables import IcebergishTable
 
-    if args.frac is not None and args.method != "dsir":
-        print(json.dumps({"error": "--frac applies to --method dsir only "
-                          "(semdedup cuts by tau, proto by its keep_pct, "
-                          "urldedup by canonical)"}))
+    if args.frac is not None and args.method not in ("dsir", "bm25"):
+        print(json.dumps({"error": "--frac applies to --method dsir/bm25 "
+                          "only (semdedup cuts by tau, proto by its "
+                          "keep_pct, urldedup by canonical)"}))
         return 2
     if args.frac is not None and not 0.0 < args.frac <= 1.0:
         # dsir_select quantizes frac to whole percents
@@ -152,6 +154,14 @@ def cmd_select(args) -> int:
         flags = dsir_select(
             df, frac=args.frac if args.frac is not None else DSIR_FRAC)
         keep_ids = flags.filter(F.col("selected")).select("doc_id")
+        kept = df.join(keep_ids, "doc_id", "left_semi")
+    elif args.method == "bm25":
+        from pii_redactor_spark.operators.bm25 import bm25_topk
+        from pii_redactor_spark.operators.dsir import DSIR_FRAC
+        frac = args.frac if args.frac is not None else DSIR_FRAC
+        # same whole-percent quantization as dsir_select's cut
+        k = max(1, n_in * round(frac * 100) // 100)
+        keep_ids = bm25_topk(df, topk=k).select("doc_id")
         kept = df.join(keep_ids, "doc_id", "left_semi")
     elif args.method in ("semdedup", "proto"):
         from pii_redactor_spark.kernels.artifacts import (
@@ -323,10 +333,10 @@ def main(argv: list[str] | None = None) -> int:
     sel = sub.add_parser("select")
     sel.add_argument("--input", required=True)
     sel.add_argument("--output", required=True)
-    sel.add_argument("--method", choices=("dsir", "semdedup", "proto", "urldedup"),
+    sel.add_argument("--method", choices=("dsir", "semdedup", "proto", "urldedup", "bm25"),
                      default="dsir")
     sel.add_argument("--frac", type=float, default=None,
-                     help="dsir only: keep fraction in (0, 1], quantized"
+                     help="dsir/bm25: keep fraction in (0, 1], quantized"
                           " to whole percents (default 0.25)")
     sel.add_argument("--artifacts", default=None,
                      help="semdedup/proto: reuse/commit the fitted "

@@ -362,3 +362,21 @@ def test_build_incremental_appends_diff_and_matches_scratch(
     assert rows(root, "quality", qk) == rows(scratch, "quality", qk)
     assert rows(root, "select", ("doc_id",)) == \
         rows(scratch, "select", ("doc_id",))
+
+
+def test_select_bm25(spark, capsys, tmp_path):
+    got = _run(capsys, [
+        "select", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "sel"), "--method", "bm25",
+        "--frac", "0.1"])
+    assert got["method"] == "bm25"
+    assert got["n_in"] == 500
+    assert got["n_kept"] == 50           # exact top-frac (10% of 500)
+    out = spark.read.parquet(str(tmp_path / "sel" / "data" / "*"))
+    assert out.count() == 50
+    # the kept set IS bm25_topk's: every kept doc outscores every
+    # dropped one under (score desc, doc_id) order
+    from pii_redactor_spark.operators.bm25 import bm25_topk
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {r["doc_id"] for r in bm25_topk(docs, topk=50).collect()}
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == want
