@@ -55,6 +55,7 @@ HEADLINE = [
     "q_dedup_minhash_bands",
     "q_dedup_lsh_pairs",
     "q_dedup_jaccard",
+    "q_dedup_against",
     "q_span_dedup",
     "q_span_rewrite",
     "q_span_para",

@@ -2044,3 +2044,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution-match selection; generalizes the reference's
     # hand-picked few-shot ids (reference: examples.py:5-31)
     return _bm25.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_against", oracle=_dd.dedup_against_oracle_sql())
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental (corpus-vs-corpus) dedup: odd-id docs as the "new
+    # snapshot" flagged against even-id docs as the accumulated corpus
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.dedup_against(docs.filter(F.col("doc_id") % 2 == 1),
+                             docs.filter(F.col("doc_id") % 2 == 0))

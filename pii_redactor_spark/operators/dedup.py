@@ -1253,3 +1253,91 @@ FROM (SELECT {id_col},
              COUNT(*) OVER (PARTITION BY md5({text_col})) AS n_copies
       FROM {table})
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-vs-corpus (incremental) dedup
+# ---------------------------------------------------------------------------
+
+def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Flag every NEW document against an existing corpus: the
+    incremental-crawl pattern (CCNet / RefinedWeb practice — each new
+    snapshot is deduplicated against the accumulated corpus, not just
+    within itself). Returns ``(doc_id, exact_dup, near_dup, keep)``
+    for the new side; ``keep`` = neither an exact copy nor an LSH
+    band-candidate near-dup of any old document. ``near_dup`` is
+    candidate-level (any shared MinHash band bucket) — the same
+    granularity as ``lsh_candidate_pairs``; verify with
+    ``jaccard_pairs`` where precision matters.
+
+    Shape: the OLD side collapses to two distinct key tables (content
+    hashes; band buckets) — one groupBy each, partial aggregation
+    map-side combines, output bounded by distinct-key count, NEVER a
+    broadcast of the corpus. The NEW side joins co-partitioned on the
+    same keys (AQE skew-join splits a viral page's hot hash or band).
+    Nothing here recomputes the old corpus' signatures when they are
+    already materialized — pass the stored band table through
+    ``minhash_bands`` interface parity (same schema) to skip the
+    recompute in a real pipeline.
+
+    The within-corpus twin is ``exact_dedup``/``dedup_components``;
+    this is the append-mode building block the incremental build's
+    recompute-by-semantics dedup stage can swap to when the old side's
+    survivors are already committed.
+    """
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_"))
+    old_h = (old_docs.select(h.alias("_h")).distinct()
+             .withColumn("_e", F.lit(1)))
+    old_b = (minhash_bands(old_docs, text_col, id_col)
+             .select("band_idx", "band_hash").distinct())
+    flagged = (
+        new_docs.select(F.col(id_col), h.alias("_h"))
+        .join(old_h, "_h", "left")
+        .select(id_col, F.col("_e").isNotNull().alias("exact_dup"))
+    )
+    near_ids = (
+        minhash_bands(new_docs, text_col, id_col)
+        .join(old_b, ["band_idx", "band_hash"], "left_semi")
+        .select(id_col).distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        flagged.join(near_ids, id_col, "left")
+        .select(
+            id_col,
+            "exact_dup",
+            F.col("_n").isNotNull().alias("near_dup"),
+            (~F.col("exact_dup") & F.col("_n").isNull()).alias("keep"))
+    )
+
+
+def dedup_against_oracle_sql(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             old_pred: str = "doc_id % 2 = 0",
+                             new_pred: str = "doc_id % 2 = 1") -> str:
+    old_sub = f"(SELECT * FROM {table} WHERE {old_pred})"
+    new_sub = f"(SELECT * FROM {table} WHERE {new_pred})"
+    bands_old = minhash_bands_oracle_sql(old_sub, text_col, id_col)
+    bands_new = minhash_bands_oracle_sql(new_sub, text_col, id_col)
+    return f"""
+WITH old_h AS (
+  SELECT DISTINCT coalesce(md5({text_col}), '_null_') AS _h
+  FROM {table} WHERE {old_pred}),
+old_b AS (SELECT DISTINCT band_idx, band_hash FROM ({bands_old})),
+new_b AS ({bands_new}),
+near AS (
+  SELECT DISTINCT n.{id_col}
+  FROM new_b n JOIN old_b o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash)
+SELECT d.{id_col},
+       coalesce(md5(d.{text_col}), '_null_') IN (SELECT _h FROM old_h)
+         AS exact_dup,
+       d.{id_col} IN (SELECT {id_col} FROM near) AS near_dup,
+       NOT (coalesce(md5(d.{text_col}), '_null_')
+            IN (SELECT _h FROM old_h))
+       AND NOT (d.{id_col} IN (SELECT {id_col} FROM near)) AS keep
+FROM {table} d WHERE {new_pred}
+"""

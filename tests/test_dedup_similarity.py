@@ -750,3 +750,28 @@ def test_soft_dedup_weights(spark):
     assert out[4] == out[5] == (2, 500000)
     # effective mass of a duplicate group ~ 1 doc (ppm rounding down)
     assert sum(out[i][1] for i in (0, 1, 2)) <= 1000000
+
+
+def test_dedup_against_flags(spark):
+    """Incremental dedup: exact copies and LSH near-dups of the OLD
+    corpus are flagged; novel docs keep; NULL text matches NULL text
+    (the sentinel — an equi-join would silently drop NULL keys)."""
+    from pii_redactor_spark.operators.cache import release_caches
+    old = spark.createDataFrame(
+        [(0, BASE), (2, OTHER), (4, None)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, BASE),                         # exact copy of old 0
+         (3, NEAR),                         # near-dup of old 0
+         (5, "zx qq ww ee rr tt yy uu"),    # novel
+         (7, None)],                        # NULL text = old 4's NULL
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["exact_dup"], r["near_dup"], r["keep"])
+           for r in dedup.dedup_against(new, old).collect()}
+    release_caches()
+    assert out[1][0] is True and out[1][2] is False
+    assert out[3] == (False, True, False)   # near but not exact
+    assert out[5] == (False, False, True)
+    assert out[7][0] is True and out[7][2] is False
+    # flags are exhaustive and exclusive with keep
+    for e, nd, k in out.values():
+        assert k == (not e and not nd)
