@@ -56,6 +56,7 @@ HEADLINE = [
     "q_dedup_lsh_pairs",
     "q_dedup_jaccard",
     "q_dedup_against",
+    "q_dedup_against_verified",
     "q_span_dedup",
     "q_span_rewrite",
     "q_span_para",

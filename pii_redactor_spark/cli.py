@@ -255,7 +255,8 @@ def cmd_build(args) -> int:
         out = build_increment(
             spark, IcebergishTable(args.input), args.output_root,
             run_id=args.run_id, frac=args.frac, benchmark=benchmark,
-            thresholds=thresholds, artifacts=artifacts)
+            thresholds=thresholds, artifacts=artifacts,
+            dedup_mode=args.dedup_mode)
     else:
         out = build_job(spark, pages, args.output_root,
                         run_id=args.run_id, n_buckets=args.n_buckets,
@@ -362,6 +363,13 @@ def main(argv: list[str] | None = None) -> int:
                         "process only the snapshot diff "
                         "(append-through); dedup/select/pack recompute "
                         "by semantics — recorded per stage in lineage")
+    b.add_argument("--dedup-mode", choices=("recompute", "append"),
+                   default="recompute", dest="dedup_mode",
+                   help="incremental only: append = dedup the drop "
+                        "within itself then flag against committed "
+                        "survivors (dedup_against, Jaccard-verified) "
+                        "instead of recomputing over old+new; bridge-"
+                        "case trade recorded in plans/build.py")
     b.set_defaults(fn=cmd_build)
 
     f = sub.add_parser("fit")

@@ -2053,3 +2053,16 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return _dd.dedup_against(docs.filter(F.col("doc_id") % 2 == 1),
                              docs.filter(F.col("doc_id") % 2 == 0))
+
+
+@register("q_dedup_against_verified",
+          oracle=_dd.dedup_against_oracle_sql(verify_threshold=0.8))
+def q_dedup_against_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the dedup_corpus discipline applied cross-corpus: band candidates
+    # confirmed by exact shingle Jaccard >= 0.8 against the specific old
+    # docs they collided with, so no non-duplicate is ever dropped on a
+    # band collision
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.dedup_against(docs.filter(F.col("doc_id") % 2 == 1),
+                             docs.filter(F.col("doc_id") % 2 == 0),
+                             verify_threshold=0.8)

@@ -1261,7 +1261,8 @@ FROM (SELECT {id_col},
 
 def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  verify_threshold: float | None = None) -> DataFrame:
     """Flag every NEW document against an existing corpus: the
     incremental-crawl pattern (CCNet / RefinedWeb practice — each new
     snapshot is deduplicated against the accumulated corpus, not just
@@ -1269,8 +1270,12 @@ def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
     for the new side; ``keep`` = neither an exact copy nor an LSH
     band-candidate near-dup of any old document. ``near_dup`` is
     candidate-level (any shared MinHash band bucket) — the same
-    granularity as ``lsh_candidate_pairs``; verify with
-    ``jaccard_pairs`` where precision matters.
+    granularity as ``lsh_candidate_pairs``. With ``verify_threshold``
+    set, band candidates are confirmed by exact shingle Jaccard >=
+    threshold against the SPECIFIC old documents they collided with
+    (the ``dedup_corpus`` discipline: an unverified drop permanently
+    loses a non-duplicate); the verify join is driven by the candidate
+    PAIR set, never the corpus cross product.
 
     Shape: the OLD side collapses to two distinct key tables (content
     hashes; band buckets) — one groupBy each, partial aggregation
@@ -1297,12 +1302,45 @@ def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
         .join(old_h, "_h", "left")
         .select(id_col, F.col("_e").isNotNull().alias("exact_dup"))
     )
-    near_ids = (
-        minhash_bands(new_docs, text_col, id_col)
-        .join(old_b, ["band_idx", "band_hash"], "left_semi")
-        .select(id_col).distinct()
-        .withColumn("_n", F.lit(1))
-    )
+    if verify_threshold is None:
+        near_ids = (
+            minhash_bands(new_docs, text_col, id_col)
+            .join(old_b, ["band_idx", "band_hash"], "left_semi")
+            .select(id_col).distinct()
+            .withColumn("_n", F.lit(1))
+        )
+    else:
+        old_bf = minhash_bands(old_docs, text_col, id_col).select(
+            "band_idx", "band_hash", F.col(id_col).alias("_oid"))
+        cand = (
+            minhash_bands(new_docs, text_col, id_col)
+            .join(old_bf, ["band_idx", "band_hash"])
+            .select(F.col(id_col), "_oid").distinct()
+        )
+
+        def _ssets(d: DataFrame, sid: str) -> DataFrame:
+            return (
+                d.withColumn("_words", words_expr(F.col(text_col)))
+                .select(F.col(id_col).alias(sid),
+                        F.array_distinct(
+                            shingles_expr(F.col("_words"))).alias(
+                            f"_set_{sid}"))
+            )
+
+        near_ids = (
+            cand
+            .join(_ssets(new_docs, "_nid"),
+                  cand[id_col] == F.col("_nid"))
+            .join(_ssets(old_docs, "_osid"),
+                  F.col("_oid") == F.col("_osid"))
+            .where(
+                F.size(F.array_intersect("_set__nid", "_set__osid"))
+                .cast("double")
+                / F.size(F.array_union("_set__nid", "_set__osid"))
+                >= F.lit(verify_threshold))
+            .select(id_col).distinct()
+            .withColumn("_n", F.lit(1))
+        )
     return (
         flagged.join(near_ids, id_col, "left")
         .select(
@@ -1317,21 +1355,50 @@ def dedup_against_oracle_sql(table: str = "documents",
                              text_col: str = "text",
                              id_col: str = "doc_id",
                              old_pred: str = "doc_id % 2 = 0",
-                             new_pred: str = "doc_id % 2 = 1") -> str:
+                             new_pred: str = "doc_id % 2 = 1",
+                             verify_threshold: float | None = None) -> str:
     old_sub = f"(SELECT * FROM {table} WHERE {old_pred})"
     new_sub = f"(SELECT * FROM {table} WHERE {new_pred})"
     bands_old = minhash_bands_oracle_sql(old_sub, text_col, id_col)
     bands_new = minhash_bands_oracle_sql(new_sub, text_col, id_col)
-    return f"""
-WITH old_h AS (
-  SELECT DISTINCT coalesce(md5({text_col}), '_null_') AS _h
-  FROM {table} WHERE {old_pred}),
+    words = _WORDS_SQL.format(t=text_col)
+    if verify_threshold is None:
+        near = f"""
 old_b AS (SELECT DISTINCT band_idx, band_hash FROM ({bands_old})),
 new_b AS ({bands_new}),
 near AS (
   SELECT DISTINCT n.{id_col}
   FROM new_b n JOIN old_b o
-    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash)
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash)"""
+    else:
+        near = f"""
+old_bf AS (SELECT band_idx, band_hash, {id_col} AS _oid
+           FROM ({bands_old})),
+new_b AS ({bands_new}),
+cand AS (
+  SELECT DISTINCT n.{id_col}, o._oid
+  FROM new_b n JOIN old_bf o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash),
+nsets AS (
+  SELECT {id_col} AS sid, list_distinct({_shingles_sql('words')}) AS sset
+  FROM (SELECT {id_col}, {words} AS words FROM {table}
+        WHERE {new_pred})),
+osets AS (
+  SELECT {id_col} AS sid, list_distinct({_shingles_sql('words')}) AS sset
+  FROM (SELECT {id_col}, {words} AS words FROM {table}
+        WHERE {old_pred})),
+near AS (
+  SELECT DISTINCT c.{id_col}
+  FROM cand c
+  JOIN nsets a ON c.{id_col} = a.sid
+  JOIN osets b ON c._oid = b.sid
+  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sset, b.sset)))
+        >= {verify_threshold})"""
+    return f"""
+WITH old_h AS (
+  SELECT DISTINCT coalesce(md5({text_col}), '_null_') AS _h
+  FROM {table} WHERE {old_pred}),{near}
 SELECT d.{id_col},
        coalesce(md5(d.{text_col}), '_null_') IN (SELECT _h FROM old_h)
          AS exact_dup,

@@ -347,10 +347,19 @@ def build_increment(
     benchmark: DataFrame | None = None,
     thresholds=None,
     artifacts=None,
+    dedup_mode: str = "recompute",
 ) -> dict:
     """Run (or catch up) the incremental chain; idempotent — with no new
     input snapshot the per-row stages append nothing and the global
-    stages recompute over unchanged inputs (same snapshots re-commit)."""
+    stages recompute over unchanged inputs (same snapshots re-commit).
+
+    ``dedup_mode`` — ``"recompute"`` (default): the dedup stage rebuilds
+    the survivor set over old+new every increment (exact equality with a
+    from-scratch build); ``"append"``: the drop is deduped within itself
+    then flagged against the committed survivors via ``dedup_against``
+    (exact hash + Jaccard-verified band candidates) and only novel docs
+    append — one pass over the drop instead of the corpus, at the
+    documented bridge-case trade (see the stage comment)."""
     from pii_redactor_spark.functions.url_rules import with_url_rules
     from pii_redactor_spark.operators.cache import release_caches
     from pii_redactor_spark.operators.decontaminate import contamination
@@ -451,15 +460,63 @@ def build_increment(
     # -- global recompute: dedup -> quality join -> select -> pack -----------
     from pii_redactor_spark.plans.dedup_job import dedup_corpus
     t0 = time.time()
-    pre_df = pre_tbl.read(spark)
-    n_pre = pre_df.count()
-    survivors = dedup_corpus(pre_df)
     dtbl = stage_table(root, "dedup")
-    dtbl.overwrite(survivors, lineage={
-        "run_id": run_id, "stage": "dedup", "mode": "recompute",
-        "input_snapshot": cur_pre, "complete": True})
-    release_caches()
-    log_row("dedup", "recompute", n_pre, dtbl.read(spark).count(), t0)
+    cur_pre_dd = pre_tbl.current_snapshot_id()
+    if dedup_mode == "append":
+        # Append-mode dedup (the dedup_against building block): the new
+        # drop is deduped WITHIN itself (dedup_corpus), then flagged
+        # against the committed survivor set (exact hash + Jaccard-
+        # verified band candidates); only novel docs append — old
+        # survivors are NEVER re-examined, so a drop costs one pass
+        # over the drop plus co-partitioned joins against the survivor
+        # key tables instead of a full-corpus recompute. Documented
+        # trade vs mode=recompute: a new doc that BRIDGES two old
+        # survivors (near-dup of both) is simply dropped here, while a
+        # recompute would merge the whole cluster and keep only its
+        # global min id — i.e. append never drops an already-committed
+        # survivor. With monotonically increasing doc ids (the append
+        # workload) and no bridges, the kept sets are identical
+        # (test_build_increment_dedup_append).
+        from pii_redactor_spark.operators.dedup import dedup_against
+        last_dd = _inc_last(dtbl, run_id, "dedup")
+        if last_dd == cur_pre_dd and dtbl.snapshot() is not None:
+            log_row("dedup", "append:up-to-date", None,
+                    dtbl.read(spark).count(), t0)
+        elif last_dd is None:
+            pre_df = pre_tbl.read(spark)
+            n_pre = pre_df.count()
+            survivors = dedup_corpus(pre_df)
+            dtbl.overwrite(survivors, lineage={
+                "run_id": run_id, "stage": "dedup", "mode": "append-seed",
+                "input_snapshot": cur_pre_dd, "complete": True})
+            release_caches()
+            log_row("dedup", "append-seed", n_pre,
+                    dtbl.read(spark).count(), t0)
+        else:
+            ddiff = pre_tbl.read_incremental(spark, last_dd)
+            n_in = ddiff.count() if ddiff is not None else 0
+            if ddiff is not None and n_in > 0:
+                old_surv = dtbl.read(spark)
+                new_surv = dedup_corpus(ddiff)
+                keep_ids = (
+                    dedup_against(new_surv, old_surv,
+                                  verify_threshold=0.8)
+                    .filter(F.col("keep")).select("doc_id"))
+                add = new_surv.join(keep_ids, "doc_id", "left_semi")
+                dtbl.append(add, lineage={
+                    "run_id": run_id, "stage": "dedup", "mode": "append",
+                    "input_snapshot": cur_pre_dd, "complete": True})
+                release_caches()
+            log_row("dedup", "append", n_in, dtbl.read(spark).count(), t0)
+    else:
+        pre_df = pre_tbl.read(spark)
+        n_pre = pre_df.count()
+        survivors = dedup_corpus(pre_df)
+        dtbl.overwrite(survivors, lineage={
+            "run_id": run_id, "stage": "dedup", "mode": "recompute",
+            "input_snapshot": cur_pre_dd, "complete": True})
+        release_caches()
+        log_row("dedup", "recompute", n_pre, dtbl.read(spark).count(), t0)
 
     t0 = time.time()
     kept_ids = dtbl.read(spark).select("doc_id")

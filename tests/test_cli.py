@@ -380,3 +380,66 @@ def test_select_bm25(spark, capsys, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     want = {r["doc_id"] for r in bm25_topk(docs, topk=50).collect()}
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == want
+
+
+def test_build_increment_dedup_append(spark, capsys, tmp_path):
+    """--dedup-mode append: the drop is deduped within itself then
+    flagged against the committed survivors (dedup_against, verified);
+    old survivors are never re-examined. With monotone doc ids and no
+    bridge cases (a new doc near-dupping two mutually-distant old
+    survivors) the kept set equals recompute's — asserted here on the
+    real corpus; the bridge trade is documented in plans/build.py."""
+    from pii_redactor_spark.operators.cache import release_caches
+    from pii_redactor_spark.plans.build import stage_table
+    from pii_redactor_spark.tables import IcebergishTable, MetricsTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench_pq = str(tmp_path / "bench.parquet")
+    docs.filter("doc_id % 37 = 0").select("doc_id", "text") \
+        .write.parquet(bench_pq)
+
+    def build(root, run_id, mode):
+        return _run(capsys, [
+            "build", "--incremental", "--input", str(tmp_path / "input"),
+            "--output-root", root, "--run-id", run_id,
+            "--benchmark", bench_pq, "--dedup-mode", mode])
+
+    inp = IcebergishTable(tmp_path / "input")
+    inp.append(docs.filter("doc_id < 300"))
+    ra, rr = str(tmp_path / "app"), str(tmp_path / "rec")
+    got1 = build(ra, "inca", "append")
+    release_caches()
+    by1 = {s["stage"]: s for s in got1["stages"]}
+    assert by1["dedup"]["mode"] == "append-seed"
+
+    inp.append(docs.filter("doc_id >= 300"))
+    got2 = build(ra, "inca", "append")
+    release_caches()
+    by2 = {s["stage"]: s for s in got2["stages"]}
+    assert by2["dedup"]["mode"] == "append"
+    # the PREFILTERED drop (urlfilter/decontaminate may trim it),
+    # never the accumulated corpus
+    assert 0 < by2["dedup"]["n_in"] <= 200
+    mstages = {r["stage"] for r in MetricsTable(tmp_path / "app" /
+               "metrics").read(spark).collect()}
+    assert "inc:dedup:append-seed" in mstages
+    assert "inc:dedup:append" in mstages
+
+    # recompute twin over the same two drops
+    build(rr, "incr", "recompute")
+    release_caches()
+
+    def surv(root):
+        return {r["doc_id"] for r in
+                stage_table(root, "dedup").read(spark)
+                .select("doc_id").collect()}
+
+    s_app, s_rec = surv(ra), surv(rr)
+    assert s_app == s_rec                     # no bridges on this corpus
+
+    # old survivors are never dropped by an append increment
+    got3 = build(ra, "inca", "append")        # idempotent catch-up
+    release_caches()
+    by3 = {s["stage"]: s for s in got3["stages"]}
+    assert by3["dedup"]["mode"] == "append:up-to-date"
+    assert surv(ra) == s_app

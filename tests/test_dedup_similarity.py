@@ -775,3 +775,22 @@ def test_dedup_against_flags(spark):
     # flags are exhaustive and exclusive with keep
     for e, nd, k in out.values():
         assert k == (not e and not nd)
+
+
+def test_dedup_against_verify_threshold_gates_near(spark):
+    """verify_threshold confirms band candidates by exact shingle
+    Jaccard against the specific colliding old docs: NEAR (J < 1)
+    passes at 0.5 but not at 1.0; an exact copy verifies at any
+    threshold."""
+    from pii_redactor_spark.operators.cache import release_caches
+    old = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, NEAR), (3, BASE)],
+                                "doc_id long, text string")
+    lo = {r["doc_id"]: r["near_dup"] for r in dedup.dedup_against(
+        new, old, verify_threshold=0.5).collect()}
+    release_caches()
+    hi = {r["doc_id"]: r["near_dup"] for r in dedup.dedup_against(
+        new, old, verify_threshold=1.0).collect()}
+    release_caches()
+    assert lo[1] is True and hi[1] is False    # J(NEAR, BASE) in (0.5, 1)
+    assert lo[3] is True and hi[3] is True     # exact copy: J = 1
