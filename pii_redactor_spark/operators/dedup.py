@@ -1259,10 +1259,21 @@ FROM (SELECT {id_col},
 # Corpus-vs-corpus (incremental) dedup
 # ---------------------------------------------------------------------------
 
+def doc_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(_h)`` content-hash rows with the NULL-text sentinel — the
+    storable exact-dup key table for ``dedup_against(old_hashes=...)``:
+    an incremental pipeline appends each drop's hashes once and never
+    re-hashes the accumulated corpus."""
+    return docs.select(
+        F.coalesce(F.md5(F.col(text_col)), F.lit("_null_")).alias("_h"))
+
+
 def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
                   text_col: str = "text",
                   id_col: str = "doc_id",
-                  verify_threshold: float | None = None) -> DataFrame:
+                  verify_threshold: float | None = None,
+                  old_hashes: DataFrame | None = None,
+                  old_bands: DataFrame | None = None) -> DataFrame:
     """Flag every NEW document against an existing corpus: the
     incremental-crawl pattern (CCNet / RefinedWeb practice — each new
     snapshot is deduplicated against the accumulated corpus, not just
@@ -1291,12 +1302,24 @@ def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
     this is the append-mode building block the incremental build's
     recompute-by-semantics dedup stage can swap to when the old side's
     survivors are already committed.
+
+    ``old_hashes`` / ``old_bands`` — pre-materialized old-side key
+    tables (``doc_hashes(new_docs)`` / ``minhash_bands`` schemas: a
+    ``_h`` column; ``(band_idx, band_hash, id)`` rows). When an
+    incremental pipeline stores these per increment (the build's
+    append-mode dedup does), each new drop costs signature work over
+    the DROP only — the accumulated survivors are never re-hashed.
+    ``old_docs`` is still consulted for texts in the verified path, but
+    only the docs that actually collide (semi-join prune), so the old
+    side's per-increment cost is bounded by the collision set.
     """
     h = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_"))
-    old_h = (old_docs.select(h.alias("_h")).distinct()
-             .withColumn("_e", F.lit(1)))
-    old_b = (minhash_bands(old_docs, text_col, id_col)
-             .select("band_idx", "band_hash").distinct())
+    old_h = ((old_hashes if old_hashes is not None
+              else doc_hashes(old_docs, text_col))
+             .select("_h").distinct().withColumn("_e", F.lit(1)))
+    old_bf_src = (old_bands if old_bands is not None
+                  else minhash_bands(old_docs, text_col, id_col))
+    old_b = old_bf_src.select("band_idx", "band_hash").distinct()
     flagged = (
         new_docs.select(F.col(id_col), h.alias("_h"))
         .join(old_h, "_h", "left")
@@ -1310,13 +1333,18 @@ def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
             .withColumn("_n", F.lit(1))
         )
     else:
-        old_bf = minhash_bands(old_docs, text_col, id_col).select(
+        old_bf = old_bf_src.select(
             "band_idx", "band_hash", F.col(id_col).alias("_oid"))
         cand = (
             minhash_bands(new_docs, text_col, id_col)
             .join(old_bf, ["band_idx", "band_hash"])
             .select(F.col(id_col), "_oid").distinct()
         )
+        # only the OLD docs that actually collided need shingle sets —
+        # at corpus scale the collision set is tiny vs the survivors
+        old_hit = old_docs.join(
+            cand.select(F.col("_oid").alias(id_col)).distinct(),
+            id_col, "left_semi")
 
         def _ssets(d: DataFrame, sid: str) -> DataFrame:
             return (
@@ -1331,7 +1359,7 @@ def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
             cand
             .join(_ssets(new_docs, "_nid"),
                   cand[id_col] == F.col("_nid"))
-            .join(_ssets(old_docs, "_osid"),
+            .join(_ssets(old_hit, "_osid"),
                   F.col("_oid") == F.col("_osid"))
             .where(
                 F.size(F.array_intersect("_set__nid", "_set__osid"))

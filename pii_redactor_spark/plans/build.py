@@ -477,9 +477,43 @@ def build_increment(
         # survivor. With monotonically increasing doc ids (the append
         # workload) and no bridges, the kept sets are identical
         # (test_build_increment_dedup_append).
-        from pii_redactor_spark.operators.dedup import dedup_against
+        from pii_redactor_spark.operators.dedup import (
+            dedup_against, doc_hashes, minhash_bands)
+
+        # Stored survivor SIGNATURE tables: each increment appends only
+        # the new survivors' content hashes and MinHash band rows, so
+        # the accumulated corpus is hashed exactly once ever — the
+        # per-drop cost is signature work over the drop plus
+        # co-partitioned key joins. Synced from the dedup table's own
+        # snapshot diff (crash between the dedup append and the sync is
+        # healed by the next run's pre-flag sync; a recompute overwrite
+        # resets the lineage root, which read_incremental surfaces as
+        # everything-new and the None-marker branch rebuilds).
+        htbl = IcebergishTable(root / "inc_dedup_hashes")
+        btbl = IcebergishTable(root / "inc_dedup_bands")
+
+        def _sync_sig() -> None:
+            cur_dd = dtbl.current_snapshot_id()
+            if cur_dd is None:
+                return
+            for tbl, stage, derive in (
+                    (htbl, "dedup_hashes", doc_hashes),
+                    (btbl, "dedup_bands", minhash_bands)):
+                last = _inc_last(tbl, run_id, stage)
+                if last == cur_dd:
+                    continue
+                lineage = {"run_id": run_id, "stage": stage,
+                           "input_snapshot": cur_dd, "complete": True}
+                if last is None:
+                    tbl.overwrite(derive(dtbl.read(spark)), lineage=lineage)
+                else:
+                    delta = dtbl.read_incremental(spark, last)
+                    if delta is not None:
+                        tbl.append(derive(delta), lineage=lineage)
+
         last_dd = _inc_last(dtbl, run_id, "dedup")
         if last_dd == cur_pre_dd and dtbl.snapshot() is not None:
+            _sync_sig()
             log_row("dedup", "append:up-to-date", None,
                     dtbl.read(spark).count(), t0)
         elif last_dd is None:
@@ -489,10 +523,12 @@ def build_increment(
             dtbl.overwrite(survivors, lineage={
                 "run_id": run_id, "stage": "dedup", "mode": "append-seed",
                 "input_snapshot": cur_pre_dd, "complete": True})
+            _sync_sig()
             release_caches()
             log_row("dedup", "append-seed", n_pre,
                     dtbl.read(spark).count(), t0)
         else:
+            _sync_sig()  # heal any prior crash window before flagging
             ddiff = pre_tbl.read_incremental(spark, last_dd)
             n_in = ddiff.count() if ddiff is not None else 0
             if ddiff is not None and n_in > 0:
@@ -500,12 +536,15 @@ def build_increment(
                 new_surv = dedup_corpus(ddiff)
                 keep_ids = (
                     dedup_against(new_surv, old_surv,
-                                  verify_threshold=0.8)
+                                  verify_threshold=0.8,
+                                  old_hashes=htbl.read(spark),
+                                  old_bands=btbl.read(spark))
                     .filter(F.col("keep")).select("doc_id"))
                 add = new_surv.join(keep_ids, "doc_id", "left_semi")
                 dtbl.append(add, lineage={
                     "run_id": run_id, "stage": "dedup", "mode": "append",
                     "input_snapshot": cur_pre_dd, "complete": True})
+                _sync_sig()  # append the new survivors' own signatures
                 release_caches()
             log_row("dedup", "append", n_in, dtbl.read(spark).count(), t0)
     else:

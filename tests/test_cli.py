@@ -437,6 +437,15 @@ def test_build_increment_dedup_append(spark, capsys, tmp_path):
     s_app, s_rec = surv(ra), surv(rr)
     assert s_app == s_rec                     # no bridges on this corpus
 
+    # stored signature tables track the survivor set exactly (each drop
+    # is hashed once ever; the accumulated corpus never re-hashed)
+    htbl = IcebergishTable(tmp_path / "app" / "inc_dedup_hashes")
+    btbl = IcebergishTable(tmp_path / "app" / "inc_dedup_bands")
+    assert htbl.read(spark).count() == len(s_app)
+    assert {r["doc_id"] for r in
+            btbl.read(spark).select("doc_id").distinct().collect()} \
+        == s_app
+
     # old survivors are never dropped by an append increment
     got3 = build(ra, "inca", "append")        # idempotent catch-up
     release_caches()
