@@ -335,3 +335,17 @@ def test_neardup_twin_band_table_computed_once(spark, docs):
     assert (plan.count("ArrowEvalPython")
             <= plan.count("InMemoryRelation")), plan
     release_caches()
+
+
+def test_dedup_against_no_window_no_single_partition(spark, docs):
+    """Both dedup_against paths flag via co-partitioned key joins —
+    never a window over the content hash / band key (a viral page
+    would pin one task; AQE cannot split windows) and never a
+    SinglePartition exchange."""
+    from pii_redactor_spark.operators.dedup import dedup_against
+    new = docs.filter("doc_id % 2 = 1")
+    old = docs.filter("doc_id % 2 = 0")
+    for vt in (None, 0.8):
+        plan = _plan(dedup_against(new, old, verify_threshold=vt))
+        assert "Window" not in plan, vt
+        assert "Exchange SinglePartition" not in plan, vt
