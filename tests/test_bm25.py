@@ -69,3 +69,43 @@ def test_bm25_tie_break_is_deterministic(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     top = [r["doc_id"] for r in bm25.bm25_topk(docs, topk=4).collect()]
     assert top == [0, 1, 2, 3]  # equal scores -> doc_id ascending
+
+
+def test_bm25_matches_pure_python_on_random_corpora(spark):
+    """Property check (fixed seed grid, no float in either path's
+    score): the Spark plan's integer BM25 equals a from-scratch pure-
+    Python recompute — same idf quantization (math.log), same integer
+    floor-div saturation — on random corpora drawn from a vocabulary
+    overlapping the query terms."""
+    import random
+
+    terms = bm25.BM25_TERMS
+    vocab = list(terms) + ["filler", "words", "page", "data"]
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(30):
+            n = rng.randint(0, 12)
+            rows.append((i, " ".join(rng.choice(vocab)
+                                     for _ in range(n)) or None))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_id"], r["n_words"], r["bm25_q"])
+               for r in bm25.bm25_topk(docs, topk=30).collect()}
+
+        # pure-Python twin
+        toks = {i: (t.split() if t else []) for i, t in rows}
+        n_docs = len(rows)
+        total = sum(len(v) for v in toks.values())
+        want = set()
+        for i, ws in toks.items():
+            score = 0
+            for t in terms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if t in v)
+                idf = bm25._idf_q(n_docs, df)
+                score += (idf * 22 * tf * total) // (
+                    10 * tf * total + 3 * total + 9 * len(ws) * n_docs)
+            want.add((i, len(ws), score))
+        assert got == want, seed
