@@ -48,6 +48,7 @@ HEADLINE = [
     "q_quality_nb_counts",
     "q_quality_tiers",
     "q_quality_c4",
+    "q_badwords",
     "q_datacard",
     "q_domain_mix",
     "q_dedup_exact",

@@ -2066,3 +2066,10 @@ def q_dedup_against_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.dedup_against(docs.filter(F.col("doc_id") % 2 == 1),
                              docs.filter(F.col("doc_id") % 2 == 0),
                              verify_threshold=0.8)
+
+
+@register("q_badwords", oracle=_rules.badword_stats_oracle_sql())
+def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4's third page gate (Raffel et al. 2020 §2.2 bad-words list) —
+    # deterministic stand-in blocklist, artifact-swappable mechanics
+    return _rules.badword_stats(_t(spark, sf_dir, "documents"))

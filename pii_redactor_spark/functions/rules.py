@@ -502,3 +502,64 @@ def c4_stats_oracle_sql(table: str = "documents",
                 AS INT) AS kept_len
     FROM k
     """
+
+
+# C4's third page-level gate (Raffel et al. 2020 §2.2): "removed any
+# page that contained any word on the 'List of Dirty, Naughty, Obscene
+# or Otherwise Bad Words'". The real list is an external artifact; the
+# engine ships a deterministic stand-in over the synthetic vocabulary
+# (two planted 'blocked' words) with the SAME mechanics — swap
+# BADWORDS for the production list and nothing else changes. The list
+# is broadcast-small by construction (the published list is ~400
+# entries), so the membership test is a pure projection: lowercase
+# word array ∩ literal array, zero shuffle, zero Python.
+BADWORDS = ("slow", "corrupt")
+
+
+def badword_stats(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  badwords: tuple[str, ...] = BADWORDS) -> DataFrame:
+    """(id, n_words, n_badwords, bad_keep): C4 bad-words page gate.
+    ``n_badwords`` counts OCCURRENCES (not distinct hits) so the column
+    doubles as a blocklist-density signal; the C4 gate itself is the
+    any-hit boolean."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pre = df.withColumn("_w", F.transform(words_col(t),
+                                          lambda w: F.lower(w)))
+    n_bad = F.size(F.filter(
+        F.col("_w"), _in_list_factory(badwords)))
+    return pre.select(
+        F.col(id_col),
+        F.size("_w").cast("bigint").alias("n_words"),
+        n_bad.cast("bigint").alias("n_badwords"),
+        (n_bad == 0).alias("bad_keep"))
+
+
+def _in_list_factory(badwords: tuple[str, ...]):
+    # closure factory (HOF lambda arity rule): membership as a chained
+    # OR over literals — a tiny list by construction, stays codegen'd
+    def check(w):
+        cond = F.lit(False)
+        for b in badwords:
+            cond = cond | (w == F.lit(b))
+        return cond
+    return check
+
+
+def badword_stats_oracle_sql(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             badwords: tuple[str, ...] = BADWORDS) -> str:
+    lst = ", ".join(f"'{w}'" for w in badwords)
+    words = (f"list_transform(list_filter(string_split_regex("
+             f"trim(coalesce({text_col}, '')), '\\s+'), "
+             f"w -> w <> ''), w -> lower(w))")
+    return f"""
+SELECT {id_col},
+       CAST(len(_w) AS BIGINT) AS n_words,
+       CAST(len(list_filter(_w, w -> list_contains([{lst}], w)))
+            AS BIGINT) AS n_badwords,
+       len(list_filter(_w, w -> list_contains([{lst}], w))) = 0
+         AS bad_keep
+FROM (SELECT {id_col}, {words} AS _w FROM {table})
+"""

@@ -349,3 +349,12 @@ def test_dedup_against_no_window_no_single_partition(spark, docs):
         plan = _plan(dedup_against(new, old, verify_threshold=vt))
         assert "Window" not in plan, vt
         assert "Exchange SinglePartition" not in plan, vt
+
+
+def test_badword_stats_is_pure_projection(spark, docs):
+    """The C4 bad-words gate is word-array ∩ literal-list membership —
+    one projection over the scan, zero shuffle, zero Python."""
+    from pii_redactor_spark.functions.rules import badword_stats
+    plan = _plan(badword_stats(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan

@@ -328,3 +328,22 @@ class TestC4SentenceRules:
         assert 0 < keeps < len(out)
         again = c4_stats(punct, text_col="_t2").collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_badword_stats_gate(spark):
+    """C4 bad-words page gate: any blocklist hit drops the page;
+    case-insensitive; NULL text keeps (no words, no hits); occurrence
+    count (not distinct) for the density signal."""
+    from pii_redactor_spark.functions.rules import badword_stats
+    rows = [(0, "a perfectly clean page of words"),
+            (1, "this page is SLOW and slow again"),   # 2 hits, cased
+            (2, None),
+            (3, "corrupt data found here")]
+    out = {r["doc_id"]: (r["n_badwords"], r["bad_keep"])
+           for r in badword_stats(
+               spark.createDataFrame(
+                   rows, "doc_id long, text string")).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (2, False)
+    assert out[2] == (0, True)
+    assert out[3] == (1, False)
